@@ -1,0 +1,437 @@
+"""Deterministic synthetic corpus — images, offers, photos, site graph.
+
+Replaces the live portals with a seeded, fully reproducible web
+(FIXTURES.md §§1-5). The mock fetcher serves HTML rendered from these rows —
+the same hermetic-testing pattern as the reference's golden-HTML fixtures
+(scrapper/tests/test_otodom_selectors.py:12-45), generated at scale.
+
+Everything is a pure function of (seed, n_pages, cards_per_page); no wall
+clock, no RNG outside numpy's seeded generators, no network, no external data.
+
+URL shapes follow the reference's offer-id regexes so F5 extraction is
+exercised verbatim:
+  otodom     …/pl/oferta/{slug}-ID{id}         (otodom.py:27)
+  morizon    …/oferta/{slug}-mzn{7d}           (morizon.py:71-73)
+  gratka     …/nieruchomosci/{slug}/ob/{d}     (gratka.py:846-848)
+  trojmiasto …/nieruchomosci/{slug}-ogl{6d}.html (trojmiasto.py:59-61)
+
+Adversarial rows (deterministic by offer ordinal):
+  - ord %% 17 == 3  → "Zapytaj o cenę" price (hard-null, morizon.py:537-541)
+  - ord %% 13 == 5  → missing geo (rejected by completeness gate P2)
+  - ord %% 11 == 7  → displayed ppm2 disagrees with price/area by >8%
+                      (area back-solve F18, morizon.py:581-593)
+  - ord %% 19 == 11 → coords outside the PL bbox (P5 → treated as no-geo)
+  - ord %%  7 == 2  → URL re-listed on a later page with shuffled query params
+                      (F1 canonicalization + O1 dedupe-before-fetch)
+  - otodom ord %% 10 == 4 → investment card expanding to 3 sub-offers,
+                      depth-first at the card position (SO2, otodom.py:539-604)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from realestate_scraper_spark.functions.images import (
+    decode_image,
+    encode_image,
+    phash64,
+)
+
+SOURCES = ("otodom", "morizon", "gratka", "trojmiasto")
+
+DOMAINS = {
+    "otodom": "www.otodom.pl",
+    "morizon": "www.morizon.pl",
+    "gratka": "gratka.pl",
+    "trojmiasto": "ogloszenia.trojmiasto.pl",
+}
+
+CITIES = [
+    ("Gdansk", 54.35, 18.65),
+    ("Warszawa", 52.23, 21.01),
+    ("Krakow", 50.06, 19.94),
+    ("Wroclaw", 51.11, 17.03),
+    ("Poznan", 52.41, 16.93),
+    ("Gdynia", 54.52, 18.53),
+    ("Sopot", 54.44, 18.56),
+    ("Lodz", 51.76, 19.46),
+]
+
+KINDS = ["mieszkanie", "dom", "kawalerka"]
+
+# Per-domain politeness budget for the token-bucket tests (FIXTURES.md §2).
+CRAWL_DELAY_MS = {"otodom": 50, "morizon": 80, "gratka": 80, "trojmiasto": 100}
+
+IMG_SIZES = [(32, 32), (64, 48), (96, 64), (128, 96), (160, 120), (256, 192)]
+FMTS = ["jpeg", "png", "webp"]
+
+
+@dataclass
+class SynthOffer:
+    ordinal: int
+    source: str
+    offer_id: str
+    url: str
+    page_idx: int
+    slot: int
+    sub_slot: int
+    variant: str  # ldjson | nextdata | css
+    kind: str
+    city: str
+    rooms: int
+    area_m2: float
+    price_amount: float | None
+    displayed_ppm2: float | None  # what the page shows (may disagree)
+    lat: float | None
+    lon: float | None
+    inquiry_price: bool
+    missing_geo: bool
+    out_of_bbox: bool
+    ppm2_disagrees: bool
+    photo_image_ids: list[str] = field(default_factory=list)
+    photo_urls: list[str] = field(default_factory=list)
+
+    # -- expected engine output (golden), applying reference reconciliation --
+    def golden_row(self) -> dict | None:
+        """Expected offers-table row, or None if the completeness gate (P2)
+        must reject this offer (missing/out-of-bbox geo or null price)."""
+        lat, lon = self.lat, self.lon
+        if self.missing_geo or self.out_of_bbox:
+            lat = lon = None
+        price = None if self.inquiry_price else self.price_amount
+        area = self.area_m2
+        if (
+            price is not None
+            and self.displayed_ppm2
+            and abs(area - price / self.displayed_ppm2) / (price / self.displayed_ppm2)
+            > 0.08
+        ):
+            # F18 back-solve (morizon.py:581-593)
+            area = round(price / self.displayed_ppm2, 2)
+        ppm2 = round(price / area, 2) if price is not None and area else None
+        if price is None or lat is None or lon is None:
+            return None  # P2 completeness gate (detail.py:21,30-31)
+        return {
+            "offer_id": self.offer_id,
+            "source": self.source,
+            "url": self.url,
+            "price_amount": float(price),
+            "price_currency": "PLN",
+            "price_per_m2": ppm2,
+            "city": self.city,
+            "lat": lat,
+            "lon": lon,
+            "area_m2": float(area),
+            "rooms": int(self.rooms),
+        }
+
+    def caption(self) -> str:
+        # FIXTURES.md §1 template
+        return f"{self.kind} {self.rooms}-pokoje {self.area_m2}m2 {self.city}"
+
+
+def _slug(kind: str, city: str, ordinal: int) -> str:
+    return f"{kind}-{city.lower()}-{ordinal}"
+
+
+def _offer_url(source: str, slug: str, ordinal: int) -> str:
+    d = DOMAINS[source]
+    if source == "otodom":
+        return f"https://{d}/pl/oferta/{slug}-ID4{ordinal:05d}"
+    if source == "morizon":
+        return f"https://{d}/oferta/{slug}-mzn{1000000 + ordinal}"
+    if source == "gratka":
+        return f"https://{d}/nieruchomosci/{slug}/ob/{20000000 + ordinal}"
+    return f"https://{d}/nieruchomosci/{slug}-ogl{100000 + ordinal}.html"
+
+
+def _offer_id(source: str, ordinal: int) -> str:
+    if source == "otodom":
+        return f"4{ordinal:05d}"
+    if source == "morizon":
+        return f"mzn{1000000 + ordinal}"
+    if source == "gratka":
+        return str(20000000 + ordinal)
+    return f"ogl{100000 + ordinal}"
+
+
+def listing_url(source: str, page: int) -> str:
+    d = DOMAINS[source]
+    if source == "otodom":
+        return f"https://{d}/pl/wyniki/sprzedaz/mieszkanie/pomorskie?page={page}"
+    if source == "morizon":
+        return f"https://{d}/mieszkania/pomorskie/?page={page}"
+    if source == "gratka":
+        return f"https://{d}/nieruchomosci/mieszkania/pomorskie?page={page}"
+    return f"https://{d}/nieruchomosci/s,mieszkania.html?strona={page}"
+
+
+def make_offers(
+    seed: int = 42, n_pages: int = 6, cards_per_page: int = 8
+) -> list[SynthOffer]:
+    rng = np.random.default_rng(seed)
+    offers: list[SynthOffer] = []
+    ordinal = 0
+    for source in SOURCES:
+        for page in range(1, n_pages + 1):
+            slot = 0
+            for _card in range(cards_per_page):
+                is_investment = source == "otodom" and ordinal % 10 == 4
+                n_subs = 3 if is_investment else 1
+                for sub in range(n_subs):
+                    city, clat, clon = CITIES[int(rng.integers(len(CITIES)))]
+                    kind = KINDS[ordinal % len(KINDS)]
+                    rooms = int(rng.integers(1, 6))
+                    area = float(np.round(rng.uniform(18, 140), 1))
+                    price = float(np.round(rng.uniform(200_000, 1_900_000), -3))
+                    true_ppm2 = round(price / area, 2)
+                    disagrees = ordinal % 11 == 7
+                    displayed_ppm2 = (
+                        round(true_ppm2 * 1.25, 2) if disagrees else true_ppm2
+                    )
+                    out_bbox = ordinal % 19 == 11
+                    lat = float(np.round(clat + rng.uniform(-0.05, 0.05), 6))
+                    lon = float(np.round(clon + rng.uniform(-0.05, 0.05), 6))
+                    if out_bbox:
+                        lat, lon = 61.2, 7.1  # Norway — outside PL bbox
+                    slug = _slug(kind, city, ordinal)
+                    o = SynthOffer(
+                        ordinal=ordinal,
+                        source=source,
+                        offer_id=_offer_id(source, ordinal),
+                        url=_offer_url(source, slug, ordinal),
+                        page_idx=page,
+                        slot=slot,
+                        sub_slot=sub if is_investment else 0,
+                        variant=["ldjson", "nextdata", "css"][ordinal % 3],
+                        kind=kind,
+                        city=city,
+                        rooms=rooms,
+                        area_m2=area,
+                        price_amount=price,
+                        displayed_ppm2=displayed_ppm2,
+                        lat=lat,
+                        lon=lon,
+                        inquiry_price=ordinal % 17 == 3,
+                        missing_geo=ordinal % 13 == 5,
+                        out_of_bbox=out_bbox,
+                        ppm2_disagrees=disagrees,
+                    )
+                    n_photos = ordinal % 5
+                    for k in range(n_photos):
+                        img_id = f"img{ordinal:06d}_{k}"
+                        o.photo_image_ids.append(img_id)
+                        o.photo_urls.append(
+                            f"https://img.{DOMAINS[source]}/{o.offer_id}/{k}.jpg"
+                        )
+                    offers.append(o)
+                    ordinal += 1
+                slot += 1
+    return offers
+
+
+# ------------------------------------------------------------------ images
+def make_image_rows(offers: list[SynthOffer], seed: int = 42) -> list[dict]:
+    """The authoritative `images` table (BASELINE.json input_hint shape)."""
+    rows = []
+    for o in offers:
+        for k, img_id in enumerate(o.photo_image_ids):
+            rng = np.random.default_rng((seed, o.ordinal, k))
+            w, h = IMG_SIZES[int(rng.integers(len(IMG_SIZES)))]
+            fmt = FMTS[(o.ordinal + k) % len(FMTS)]
+            # gradient + seeded noise — stable, structured content
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+            rgb = np.stack(
+                [
+                    (base + rng.integers(0, 32, (h, w))) % 256,
+                    (base // 2 + rng.integers(0, 32, (h, w))) % 256,
+                    (255 - base + rng.integers(0, 32, (h, w))) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            data = encode_image(rgb, fmt)
+            # phash of the *stored* bytes (post-codec pixels), so the decode
+            # UDF's recompute is bit-equal to this oracle value.
+            rows.append(
+                {
+                    "image_id": img_id,
+                    "bytes": bytearray(data),
+                    "w": int(w),
+                    "h": int(h),
+                    "fmt": fmt,
+                    "caption": o.caption(),
+                    "phash": phash64(decode_image(data, fmt)),
+                }
+            )
+    return rows
+
+
+# -------------------------------------------------------------------- HTML
+def _fmt_price_pl(price: float) -> str:
+    """`1 234 567 zł` with NBSP thousands separators (F9 adversary)."""
+    s = f"{int(price):,}".replace(",", " ")
+    return f"{s} zł"
+
+
+def render_offer_html(o: SynthOffer) -> str:
+    lat = None if o.missing_geo else o.lat
+    lon = None if o.missing_geo else o.lon
+    price_txt = "Zapytaj o cenę" if o.inquiry_price else _fmt_price_pl(o.price_amount)
+    imgs = o.photo_urls
+    if o.variant == "ldjson":
+        ld = {
+            "@type": "Offer",
+            "name": f"{o.kind} {o.city}",
+            "price": None if o.inquiry_price else o.price_amount,
+            "priceCurrency": "PLN",
+            "geo": None if lat is None else {"latitude": lat, "longitude": lon},
+            "address": {"addressLocality": o.city},
+            "floorSize": {"value": o.area_m2},
+            "numberOfRooms": o.rooms,
+            "pricePerM2": o.displayed_ppm2 if not o.inquiry_price else None,
+            "image": imgs,
+        }
+        body = (
+            f'<script type="application/ld+json">{json.dumps(ld)}</script>'
+            f'<h1>{o.kind} {o.city}</h1>'
+        )
+    elif o.variant == "nextdata":
+        nd = {
+            "props": {
+                "pageProps": {
+                    "ad": {
+                        "target": {
+                            "Price": None if o.inquiry_price else o.price_amount,
+                            "Price_per_m": o.displayed_ppm2
+                            if not o.inquiry_price
+                            else None,
+                            "Area": o.area_m2,
+                            "Rooms_num": o.rooms,
+                            "City": o.city,
+                        },
+                        "location": (
+                            None
+                            if lat is None
+                            else {"coordinates": {"latitude": lat, "longitude": lon}}
+                        ),
+                        "images": [{"large": u} for u in imgs],
+                    }
+                }
+            }
+        }
+        body = (
+            f'<script id="__NEXT_DATA__" type="application/json">'
+            f"{json.dumps(nd)}</script>"
+        )
+    else:  # css fallback — regex-extractable markup with srcset photos
+        photo_tags = "".join(
+            f'<img srcset="{u}?w=400 400w, {u}?w=800 800w, {u}?w=1200 1200w">'
+            for u in imgs
+        )
+        geo_meta = "" if lat is None else f'<meta name="geo" content="{lat};{lon}">'
+        ppm2_txt = (
+            ""
+            if o.inquiry_price
+            else f'<span class="ppm2">{o.displayed_ppm2:.2f} zł/m²</span>'
+        )
+        area_txt = f"{o.area_m2:.1f}".replace(".", ",")
+        body = (
+            f'<strong class="price">{price_txt}</strong>'
+            f'{ppm2_txt}'
+            f'<span class="area">{area_txt} m²</span>'
+            f'<span class="rooms">{o.rooms} pokoje</span>'
+            f'<div class="address">{o.city}</div>'
+            f"{geo_meta}{photo_tags}"
+        )
+    return f"<html><head><title>{o.offer_id}</title></head><body>{body}</body></html>"
+
+
+def _shuffle_query(url: str) -> str:
+    """Re-listed URL variant with extra + reordered query params (F1 test)."""
+    sep = "&" if "?" in url else "?"
+    return f"{url}{sep}utm=relist&b=2&a=1"
+
+
+def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
+    cards = "".join(
+        f'<article data-cy="listing-item"><a href="{u}">oferta</a></article>'
+        for u in card_urls
+    )
+    return f"<html><body><div class='listing' data-page='{page}'>{cards}</div></body></html>"
+
+
+# -------------------------------------------------------------- site graph
+def make_site_graph(
+    offers: list[SynthOffer], n_pages: int
+) -> list[dict]:
+    """listing + offer pages; child_urls in DOM order = reference crawl order."""
+    rows: list[dict] = []
+    by_key: dict[tuple[str, int], list[SynthOffer]] = {}
+    for o in offers:
+        by_key.setdefault((o.source, o.page_idx), []).append(o)
+
+    for source in SOURCES:
+        for page in range(1, n_pages + 1):
+            page_offers = sorted(
+                by_key.get((source, page), []), key=lambda o: (o.slot, o.sub_slot)
+            )
+            child: list[str] = []
+            for o in page_offers:
+                child.append(o.url)
+            # ord%7==2 offers get re-listed on the NEXT page with shuffled
+            # query params — must canonicalize+dedupe, never refetch (O1).
+            if page > 1:
+                prev = sorted(
+                    by_key.get((source, page - 1), []),
+                    key=lambda o: (o.slot, o.sub_slot),
+                )
+                child.extend(
+                    _shuffle_query(o.url) for o in prev if o.ordinal % 7 == 2
+                )
+            if page < n_pages:
+                child.append(listing_url(source, page + 1))
+            rows.append(
+                {
+                    "url": listing_url(source, page),
+                    "kind": "listing",
+                    "source": source,
+                    "page_idx": page,
+                    "child_urls": child,
+                    "html": render_listing_html(source, page, child),
+                    "crawl_delay_ms": CRAWL_DELAY_MS[source],
+                    "robots_allow": True,
+                }
+            )
+        for o in [o for o in offers if o.source == source]:
+            rows.append(
+                {
+                    "url": o.url,
+                    "kind": "offer",
+                    "source": source,
+                    "page_idx": o.page_idx,
+                    "child_urls": [],
+                    "html": render_offer_html(o),
+                    "crawl_delay_ms": CRAWL_DELAY_MS[source],
+                    "robots_allow": o.ordinal % 23 != 21,  # a few robots-blocked
+                }
+            )
+    return rows
+
+
+# ------------------------------------------------------------- Spark entry
+def build_corpus(seed: int = 42, n_pages: int = 6, cards_per_page: int = 8):
+    """offers, images rows, site_graph rows — the full deterministic corpus."""
+    offers = make_offers(seed=seed, n_pages=n_pages, cards_per_page=cards_per_page)
+    images = make_image_rows(offers, seed=seed)
+    graph = make_site_graph(offers, n_pages=n_pages)
+    return offers, images, graph
+
+
+def seed_urls(n_pages: int = 1) -> list[tuple[str, str]]:
+    """(source, url) seed list — page-1 listing URLs per domain, identical for
+    reference-vs-engine equivalence runs (FIXTURES.md §2)."""
+    return [(s, listing_url(s, p)) for s in SOURCES for p in range(1, n_pages + 1)]

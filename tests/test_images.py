@@ -1,0 +1,116 @@
+"""Image codec + pHash tests (input_hint invariant: decoded-pixel allclose,
+PSNR≥40dB for lossy, exact for png; reference path scrapper/core/images.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from realestate_scraper_spark.functions.images import (
+    IMAGE_META_FIELDS,
+    decode_image,
+    decode_meta_batches,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+    sha256_hex,
+    sniff_format,
+)
+from realestate_scraper_spark.sources.synth import build_corpus
+
+
+def _img(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 4 + yy * 2) % 256
+    return (
+        np.stack([base, base // 2, 255 - base], axis=-1)
+        + rng.integers(0, 16, (h, w, 3))
+    ).astype(np.uint8)
+
+
+def test_png_roundtrip_exact():
+    rgb = _img(1)
+    data = encode_image(rgb, "png")
+    assert sniff_format(data) == "png"
+    out = decode_image(data)
+    assert np.array_equal(out, rgb)
+    assert psnr(rgb, out) == float("inf")
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "webp"])
+def test_lossy_roundtrip_psnr(fmt):
+    rgb = _img(2)
+    data = encode_image(rgb, fmt)
+    assert sniff_format(data) == fmt
+    out = decode_image(data)
+    assert out.shape == rgb.shape
+    assert psnr(rgb, out) >= 40.0  # input_hint invariant
+    assert np.allclose(out, rgb, atol=4)  # quant step bound
+
+
+def test_sniff_matches_reference_magic_semantics():
+    # scrapper/core/images.py:29-37 — JPEG ffd8ff, PNG 8-byte sig, RIFF/WEBP.
+    assert sniff_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert sniff_format(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPrest") == "webp"
+    assert sniff_format(b"GIF89a") is None
+
+
+def test_phash_properties():
+    a = _img(3)
+    h_a = phash64(a)
+    assert isinstance(h_a, int)
+    assert -(2**63) <= h_a < 2**63
+    # invariant under the lossy codec (≤ a couple of bits)
+    a2 = decode_image(encode_image(a, "jpeg"))
+    assert hamming64(phash64(a2), h_a) <= 4
+    # different image → far hash
+    b = _img(99)
+    assert hamming64(phash64(b), h_a) > 10
+
+
+def test_decode_meta_spark_stage(spark):
+    _, images, _ = build_corpus(n_pages=2, cards_per_page=4)
+    assert len(images) > 20
+    df = spark.createDataFrame(images)
+    meta = df.select("image_id", "bytes").mapInPandas(
+        decode_meta_batches, schema=IMAGE_META_FIELDS
+    )
+    got = {r["image_id"]: r for r in meta.collect()}
+    assert len(got) == len(images)
+    for row in images:
+        m = got[row["image_id"]]
+        assert m["decode_ok"], row["image_id"]
+        assert m["w"] == row["w"] and m["h"] == row["h"]
+        assert m["fmt"] == row["fmt"]
+        assert m["phash"] == row["phash"]  # UDF recompute == generation oracle
+        assert m["sha256"] == sha256_hex(bytes(row["bytes"]))
+
+
+def test_decode_meta_marks_bad_rows(spark):
+    rows = [
+        {"image_id": "ok", "bytes": bytearray(encode_image(_img(5), "png"))},
+        {"image_id": "bad", "bytes": bytearray(b"GIF89a not an allowed format")},
+        {"image_id": "trunc", "bytes": bytearray(b"\xff\xd8\xff\xe0\x00\x10JF")},
+    ]
+    df = spark.createDataFrame(rows)
+    meta = {r["image_id"]: r for r in df.mapInPandas(
+        decode_meta_batches, schema=IMAGE_META_FIELDS
+    ).collect()}
+    assert meta["ok"]["decode_ok"]
+    assert not meta["bad"]["decode_ok"]
+    assert not meta["trunc"]["decode_ok"]
+
+
+def test_images_table_matches_input_hint_schema(spark):
+    from realestate_scraper_spark.schemas import IMAGES_SCHEMA
+
+    _, images, _ = build_corpus(n_pages=1, cards_per_page=4)
+    df = spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+    assert [f.name for f in df.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    assert df.count() == len(images)
