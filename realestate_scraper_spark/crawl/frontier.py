@@ -1,0 +1,158 @@
+"""Frontier construction and expansion — J4/SO2/SO4/W3 (SURVEY.md §2).
+
+The frontier is the engine's ``urls.csv`` (scrapper/adapters/otodom.py:622)
+re-imagined as a partitioned table with explicit crawl-order and priority
+keys. All link classification, canonicalization and in-batch dedup here is
+pure Spark expressions; the only shuffles are the in-batch dedup window and
+the anti-join against the seen set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realestate_scraper_spark.functions.urlnorm import (
+    canonicalize_url_py,
+    with_url_keys,
+)
+from realestate_scraper_spark.schemas import FRONTIER_SCHEMA, STATUS_PENDING
+
+# listing-page URL page-number parameter per source (synth.listing_url shapes)
+_PAGE_PARAM_RE = r"[?&](?:page|strona)=(\d+)"
+
+
+def priority_expr(page_idx, kind):
+    """O12/W3: priority = (pagination depth, offers before deeper listings).
+
+    Smaller = sooner. Freshness would prepend here once posted_at exists on
+    listing cards; at crawl time pagination depth is the freshness proxy the
+    reference uses (newest listings surface on page 1).
+    """
+    return (page_idx.cast("long") * 10 + F.when(kind == "offer", 0).otherwise(1))
+
+
+def seed_frontier(
+    spark: SparkSession, seeds: list[tuple[str, str]], n_salts: int = 8
+) -> DataFrame:
+    """(source, url) seed list → frontier rows (page 1 listing URLs)."""
+    rows = []
+    for source, url in seeds:
+        m = re.search(_PAGE_PARAM_RE, url)
+        page = int(m.group(1)) if m else 1
+        rows.append((url, source, "listing", page, 0, 0))
+    df = spark.createDataFrame(
+        rows, "url string, source string, kind string, page_idx int, slot int, sub_slot int"
+    )
+    return _finish_frontier_rows(df, round_idx=0, n_salts=n_salts)
+
+
+def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
+    """Raw extracted links → typed frontier candidates.
+
+    - kind: listing iff the URL carries a pagination param; offer otherwise
+      (P8: non-offer junk URLs are dropped later by the offer-id gate in
+      refine; here every article link is one or the other by construction).
+    - offers inherit the parent listing's page_idx (W3 crawl-order key);
+      discovered listing pages get their own page number from the URL.
+    - in-batch dedup keeps the first DOM occurrence (SO5: order-preserving).
+    """
+    from realestate_scraper_spark.crawl.refine import offer_id_expr
+
+    page_from_url = F.regexp_extract(F.col("href"), _PAGE_PARAM_RE, 1)
+    is_listing = page_from_url != ""
+    candidates = (
+        links.withColumn("kind", F.when(is_listing, "listing").otherwise("offer"))
+        .withColumn(
+            "page_idx",
+            F.when(is_listing, page_from_url.cast("int")).otherwise(
+                F.col("page_idx")
+            ),
+        )
+        .withColumn("slot", F.col("dom_idx"))
+        .withColumn("sub_slot", F.lit(0))
+        .withColumnRenamed("href", "url")
+        .select("url", "source", "kind", "page_idx", "slot", "sub_slot")
+    )
+    keyed = with_url_keys(candidates, n_salts=n_salts)
+    # Order-preserving in-batch dedup (SO5): keep min (page_idx, slot).
+    w = Window.partitionBy("url_canon").orderBy("page_idx", "slot", "sub_slot")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _finish_frontier_rows(df: DataFrame, round_idx: int, n_salts: int) -> DataFrame:
+    keyed = with_url_keys(df, n_salts=n_salts)
+    return keyed.select(
+        "url",
+        "url_canon",
+        "url_hash32",
+        "url_hash64",
+        "source",
+        "domain",
+        "domain_salt",
+        "kind",
+        "page_idx",
+        "slot",
+        "sub_slot",
+        F.lit(None).cast("string").alias("offer_id"),
+        F.lit(STATUS_PENDING).alias("status"),
+        F.lit(round_idx).alias("round"),
+        priority_expr(F.col("page_idx"), F.col("kind")).alias("priority"),
+        F.lit(None).cast("double").alias("retry_at"),
+    )
+
+
+def finish_new_rows(candidates: DataFrame, round_idx: int) -> DataFrame:
+    """Keyed candidates (from classify_and_key_links) → full frontier rows."""
+    return candidates.select(
+        "url",
+        "url_canon",
+        "url_hash32",
+        "url_hash64",
+        "source",
+        "domain",
+        "domain_salt",
+        "kind",
+        "page_idx",
+        "slot",
+        "sub_slot",
+        F.lit(None).cast("string").alias("offer_id"),
+        F.lit(STATUS_PENDING).alias("status"),
+        F.lit(round_idx).alias("round"),
+        priority_expr(F.col("page_idx"), F.col("kind")).alias("priority"),
+        F.lit(None).cast("double").alias("retry_at"),
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame, seen: DataFrame, bloom=None
+) -> DataFrame:
+    """O1/J4: drop already-seen URLs; Bloom prefilter + exact anti-join.
+
+    The Bloom admits definitely-new rows without shuffling them against the
+    frontier; only maybe-seen rows pay the anti-join. False positives are
+    harmless (they just take the exact path); false negatives are impossible.
+    """
+    if bloom is not None and bloom.shards:
+        flagged = bloom.filter_maybe_seen(candidates)
+        fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        checked = maybe.join(
+            seen.select("url_hash64").distinct(), on="url_hash64", how="left_anti"
+        )
+        return fresh.unionByName(checked)
+    return candidates.join(
+        seen.select("url_hash64").distinct(), on="url_hash64", how="left_anti"
+    )
+
+
+def assert_frontier_schema(df: DataFrame) -> None:
+    expected = [f.name for f in FRONTIER_SCHEMA.fields]
+    got = df.columns
+    assert got == expected, f"frontier columns {got} != {expected}"

@@ -1,0 +1,243 @@
+"""Parse stages — the adapter UDF surface (SURVEY.md §2.10) vectorized.
+
+Two Arrow-batched stages replace the reference's per-URL BeautifulSoup calls:
+
+- :func:`extract_links_batches` — listing HTML → (dom_idx, href) rows in DOM
+  order. DOM position is the crawl-order ``slot`` (W3): the reference yields
+  cards in document order (otodom.py:592-614). 1→many, like ``discover``.
+- :func:`parse_offer_batches` — offer HTML → raw field struct. Implements the
+  reference's merge cascade LD+JSON → ``__NEXT_DATA__`` → CSS fallback
+  (otodom.py:640-653): each extractor fills only fields still missing.
+
+Everything downstream of these two UDFs (reconciliation F17/F18, bbox gate
+P5, completeness gate P2, offer-id extraction F5, photo explode W1/W2) is
+pure Spark expressions — see crawl/refine.py.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+LINKS_FIELDS = (
+    "source string, page_idx int, parent_url string, dom_idx int, href string"
+)
+
+OFFER_FIELDS = (
+    "url string, url_canon string, source string, page_idx int, slot int, "
+    "sub_slot int, parse_ok boolean, raw_price double, raw_currency string, "
+    "raw_ppm2 double, raw_area double, raw_rooms int, raw_city string, "
+    "raw_lat double, raw_lon double, photo_urls array<string>"
+)
+
+_HREF_RE = re.compile(r'<a href="([^"]+)"')
+_LDJSON_RE = re.compile(
+    r'<script type="application/ld\+json">(.*?)</script>', re.S
+)
+_NEXTDATA_RE = re.compile(
+    r'<script id="__NEXT_DATA__" type="application/json">(.*?)</script>', re.S
+)
+_PRICE_RE = re.compile(r'<strong class="price">([^<]*)</strong>')
+_PPM2_RE = re.compile(r'<span class="ppm2">([\d\s .,]+)\s*zł/m²</span>')
+_AREA_RE = re.compile(r'<span class="area">([\d,\.]+)\s*m²</span>')
+_ROOMS_RE = re.compile(r'<span class="rooms">(\d+)\s*pokoje</span>')
+_CITY_RE = re.compile(r'<div class="address">([^<]*)</div>')
+_GEO_RE = re.compile(r'<meta name="geo" content="([-\d.]+);([-\d.]+)">')
+_SRCSET_RE = re.compile(r'<img srcset="([^"]*)">')
+_NUM_CLEAN = re.compile(r"[\s ]")
+
+
+def extract_links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Listing pages → child links in DOM order (UDTF-shaped 1→many)."""
+    for pdf in batches:
+        src, pidx, purl, didx, href = [], [], [], [], []
+        for s, p, u, html in zip(
+            pdf["source"], pdf["page_idx"], pdf["url"], pdf["html"]
+        ):
+            if html is None:
+                continue
+            for i, link in enumerate(_HREF_RE.findall(html)):
+                src.append(s)
+                pidx.append(p)
+                purl.append(u)
+                didx.append(i)
+                href.append(link)
+        yield pd.DataFrame(
+            {
+                "source": pd.Series(src, dtype="object"),
+                "page_idx": pd.Series(pidx, dtype="int32"),
+                "parent_url": pd.Series(purl, dtype="object"),
+                "dom_idx": pd.Series(didx, dtype="int32"),
+                "href": pd.Series(href, dtype="object"),
+            }
+        )
+
+
+# ------------------------------------------------------------ offer parse
+def _parse_price_text(txt: str) -> float | None:
+    """F9: `1 234 567 zł` (NBSP-separated) → float; inquiry text → None."""
+    cleaned = _NUM_CLEAN.sub("", txt)
+    m = re.search(r"(\d+(?:[.,]\d+)?)", cleaned)
+    if not m:
+        return None  # e.g. "Zapytaj o cenę" (morizon.py:537-541)
+    return float(m.group(1).replace(",", "."))
+
+
+def _fill(out: dict, key: str, value) -> None:
+    """Merge-priority fill: a later extractor only fills fields the earlier
+    ones left missing/None (otodom.py:640-653 cascade semantics)."""
+    if value is not None and out.get(key) is None:
+        out[key] = value
+
+
+def _from_ldjson(html: str, out: dict) -> None:
+    m = _LDJSON_RE.search(html)
+    if not m:
+        return
+    try:
+        d = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return
+    _fill(out, "price", d.get("price"))
+    _fill(out, "currency", d.get("priceCurrency"))
+    _fill(out, "ppm2", d.get("pricePerM2"))
+    geo = d.get("geo") or {}
+    _fill(out, "lat", geo.get("latitude"))
+    _fill(out, "lon", geo.get("longitude"))
+    addr = d.get("address") or {}
+    _fill(out, "city", addr.get("addressLocality"))
+    fs = d.get("floorSize") or {}
+    _fill(out, "area", fs.get("value"))
+    _fill(out, "rooms", d.get("numberOfRooms"))
+    imgs = d.get("image") or []
+    _fill(out, "photos", [u if isinstance(u, str) else u.get("url") for u in imgs] or None)
+
+
+def _from_nextdata(html: str, out: dict) -> None:
+    m = _NEXTDATA_RE.search(html)
+    if not m:
+        return
+    try:
+        d = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return
+    ad = ((d.get("props") or {}).get("pageProps") or {}).get("ad") or {}
+    tgt = ad.get("target") or {}
+    _fill(out, "price", tgt.get("Price"))
+    _fill(out, "ppm2", tgt.get("Price_per_m"))
+    _fill(out, "area", tgt.get("Area"))
+    _fill(out, "rooms", tgt.get("Rooms_num"))
+    _fill(out, "city", tgt.get("City"))
+    loc = (ad.get("location") or {}).get("coordinates") or {}
+    _fill(out, "lat", loc.get("latitude"))
+    _fill(out, "lon", loc.get("longitude"))
+    _fill(out, "photos", [i.get("large") for i in ad.get("images") or [] if i.get("large")] or None)
+    _fill(out, "currency", "PLN" if tgt.get("Price") is not None else None)
+
+
+def _parse_srcset(srcset: str) -> str | None:
+    """F27/W4: pick the max-width variant URL from a srcset list."""
+    best_url, best_w = None, -1
+    for part in srcset.split(","):
+        part = part.strip()
+        m = re.match(r"(\S+)\s+(\d+)w", part)
+        if m and int(m.group(2)) > best_w:
+            best_url, best_w = m.group(1), int(m.group(2))
+    return best_url
+
+
+def _from_css(html: str, out: dict) -> None:
+    m = _PRICE_RE.search(html)
+    if m:
+        _fill(out, "price", _parse_price_text(m.group(1)))
+        if out.get("price") is not None:
+            _fill(out, "currency", "PLN")
+    m = _PPM2_RE.search(html)
+    if m:
+        _fill(out, "ppm2", float(_NUM_CLEAN.sub("", m.group(1)).replace(",", ".")))
+    m = _AREA_RE.search(html)
+    if m:
+        _fill(out, "area", float(m.group(1).replace(",", ".")))
+    m = _ROOMS_RE.search(html)
+    if m:
+        _fill(out, "rooms", int(m.group(1)))
+    m = _CITY_RE.search(html)
+    if m:
+        _fill(out, "city", m.group(1))
+    m = _GEO_RE.search(html)
+    if m:
+        _fill(out, "lat", float(m.group(1)))
+        _fill(out, "lon", float(m.group(2)))
+    photos = [
+        u for u in (_parse_srcset(s) for s in _SRCSET_RE.findall(html)) if u
+    ]
+    if photos:
+        _fill(out, "photos", photos)
+
+
+def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Offer pages → raw field struct with the reference's merge-priority
+    cascade (LD+JSON fills first, then __NEXT_DATA__, then CSS)."""
+    for pdf in batches:
+        n = len(pdf)
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "parse_ok", "raw_price", "raw_currency", "raw_ppm2", "raw_area",
+                "raw_rooms", "raw_city", "raw_lat", "raw_lon", "photo_urls",
+            )
+        }
+        for html in pdf["html"]:
+            out: dict = {}
+            if html is not None:
+                _from_ldjson(html, out)
+                _from_nextdata(html, out)
+                _from_css(html, out)
+            get = out.get
+            ok = bool(out)
+            cols["parse_ok"].append(ok)
+            cols["raw_price"].append(
+                float(get("price")) if get("price") is not None else None
+            )
+            cols["raw_currency"].append(get("currency"))
+            cols["raw_ppm2"].append(
+                float(get("ppm2")) if get("ppm2") is not None else None
+            )
+            cols["raw_area"].append(
+                float(get("area")) if get("area") is not None else None
+            )
+            cols["raw_rooms"].append(
+                int(get("rooms")) if get("rooms") is not None else None
+            )
+            cols["raw_city"].append(get("city"))
+            cols["raw_lat"].append(
+                float(get("lat")) if get("lat") is not None else None
+            )
+            cols["raw_lon"].append(
+                float(get("lon")) if get("lon") is not None else None
+            )
+            cols["photo_urls"].append(get("photos") or [])
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "url_canon": pdf["url_canon"],
+                "source": pdf["source"],
+                "page_idx": pdf["page_idx"],
+                "slot": pdf["slot"],
+                "sub_slot": pdf["sub_slot"],
+                "parse_ok": pd.Series(cols["parse_ok"], dtype="bool"),
+                "raw_price": pd.Series(cols["raw_price"], dtype="float64"),
+                "raw_currency": pd.Series(cols["raw_currency"], dtype="object"),
+                "raw_ppm2": pd.Series(cols["raw_ppm2"], dtype="float64"),
+                "raw_area": pd.Series(cols["raw_area"], dtype="float64"),
+                "raw_rooms": pd.Series(cols["raw_rooms"], dtype="Int32"),
+                "raw_city": pd.Series(cols["raw_city"], dtype="object"),
+                "raw_lat": pd.Series(cols["raw_lat"], dtype="float64"),
+                "raw_lon": pd.Series(cols["raw_lon"], dtype="float64"),
+                "photo_urls": pd.Series(cols["photo_urls"], dtype="object"),
+            }
+        )

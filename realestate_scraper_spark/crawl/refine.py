@@ -1,0 +1,144 @@
+"""Refinement of parsed offers — pure Spark expressions, no Python.
+
+Implements, JVM-side (whole-stage codegen), the reference's post-parse
+semantics chain:
+
+- F5  offer-id extraction regexes per source (otodom.py:27, morizon.py:71-73,
+       gratka.py:846-848, trojmiasto.py:59-61)
+- P5  PL-bbox plausibility gate (morizon.py:23,54-58) — out-of-bbox coords are
+       treated as absent, not clamped
+- F18 area back-solve when displayed ppm2 disagrees with price/area by >8%
+       (morizon.py:581-593)
+- F17 price_per_m2 = round(price/area, 2) (morizon.py:573-579)
+- P2  completeness gate (detail.py:21,30-31) — rejects go to the quarantine
+       table with a reason (replaces offers_debug.jsonl, detail.py:207-212)
+- W1/W2 photo sequence numbering + per-offer limit via posexplode
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realestate_scraper_spark.schemas import OFFER_COLUMNS
+
+# morizon.py:23 bbox (the engine standardizes on the morizon constants; the
+# gratka variant 48.5..55.5 is strictly looser, so this is the tight gate).
+PL_BBOX = {"lat_min": 49.0, "lat_max": 54.9, "lon_min": 14.0, "lon_max": 24.5}
+
+OFFER_ID_PATTERNS = [
+    ("otodom", r"-ID(\w{4,})"),
+    ("morizon", r"(mzn\d{6,})"),
+    ("gratka", r"/ob/(\d+)"),
+    ("trojmiasto", r"(ogl\d{5,})"),
+]
+
+
+def offer_id_expr(url: Column, source: Column) -> Column:
+    """F5: per-source offer-id regex dispatch (O10) as a when-chain."""
+    expr = F.lit(None).cast("string")
+    for src, pat in reversed(OFFER_ID_PATTERNS):
+        extracted = F.regexp_extract(url, pat, 1)
+        expr = F.when(
+            (source == src) & (extracted != ""), extracted
+        ).otherwise(expr)
+    return expr
+
+
+def in_pl_bbox(lat: Column, lon: Column) -> Column:
+    return (
+        lat.between(PL_BBOX["lat_min"], PL_BBOX["lat_max"])
+        & lon.between(PL_BBOX["lon_min"], PL_BBOX["lon_max"])
+    )
+
+
+def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """parsed raw fields → (valid offers 11-col, quarantine with reason)."""
+    lat0, lon0 = F.col("raw_lat"), F.col("raw_lon")
+    geo_ok = in_pl_bbox(lat0, lon0)
+    lat = F.when(geo_ok, lat0)
+    lon = F.when(geo_ok, lon0)
+
+    price = F.col("raw_price")
+    ppm2_disp = F.col("raw_ppm2")
+    implied_area = price / ppm2_disp
+    # F18: trust price & displayed ppm2 over the stated area when they
+    # disagree by more than 8%.
+    area = F.when(
+        price.isNotNull()
+        & ppm2_disp.isNotNull()
+        & (ppm2_disp != 0)
+        & F.col("raw_area").isNotNull()
+        & (F.abs(F.col("raw_area") - implied_area) / implied_area > 0.08),
+        F.round(implied_area, 2),
+    ).otherwise(F.col("raw_area"))
+
+    base = (
+        parsed.withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .withColumn("area_m2", area)
+        .withColumn("price_amount", price)
+        .withColumn("price_currency", F.col("raw_currency"))
+        .withColumn("city", F.col("raw_city"))
+        .withColumn("rooms", F.col("raw_rooms").cast("int"))
+        .withColumn("offer_id", offer_id_expr(F.col("url"), F.col("source")))
+        .withColumn(
+            "price_per_m2",
+            F.when(
+                price.isNotNull() & F.col("area_m2").isNotNull() & (F.col("area_m2") != 0),
+                F.round(price / F.col("area_m2"), 2),
+            ),
+        )
+    )
+
+    # P2 completeness gate — the REQ_FIELDS conjunction (detail.py:21).
+    required = [
+        "price_amount", "city", "area_m2", "rooms", "lat", "lon", "offer_id",
+    ]
+    complete = F.lit(True)
+    for c in required:
+        complete = complete & F.col(c).isNotNull()
+    complete = complete & (F.col("city") != "") & (F.col("offer_id") != "")
+
+    valid = base.filter(complete).select(*OFFER_COLUMNS)
+    reason = (
+        F.when(~F.col("parse_ok"), "parse_fail")
+        .when(F.col("price_amount").isNull(), "no_price")
+        .when(F.col("lat").isNull() | F.col("lon").isNull(), "no_geo")
+        .when(F.col("offer_id").isNull() | (F.col("offer_id") == ""), "no_offer_id")
+        .otherwise("incomplete")
+    )
+    quarantine = base.filter(~complete).select(
+        "url", "source", "page_idx", "slot", reason.alias("reject_reason")
+    )
+    return valid, quarantine
+
+
+def explode_photos(parsed: DataFrame, per_offer_limit: int | None = None) -> DataFrame:
+    """photo_urls array → (offer_id, seq, url, image_id) rows.
+
+    W1: seq = gallery position (posexplode keeps array order — the same
+    0,1,2… numbering the reference assigns at otodom.py:723).
+    W2: per-offer limit applied on seq (photos.py:71-75).
+    F5-style image-id extraction from the URL for the images-table join.
+    """
+    out = (
+        parsed.withColumn(
+            "offer_id", offer_id_expr(F.col("url"), F.col("source"))
+        )
+        .select(
+            "offer_id",
+            F.posexplode("photo_urls").alias("seq", "photo_url"),
+        )
+        .withColumn(
+            "image_id", F.regexp_extract("photo_url", r"(img\d{6}_\d+)", 1)
+        )
+        .withColumn(
+            "image_id",
+            F.when(F.col("image_id") != "", F.col("image_id")),
+        )
+        .withColumnRenamed("photo_url", "url")
+    )
+    if per_offer_limit is not None:
+        out = out.filter(F.col("seq") < per_offer_limit)
+    return out.select("offer_id", "seq", "url", "image_id")

@@ -88,15 +88,19 @@ def url_domain(url: Column | str) -> Column:
     return F.parse_url(u, F.lit("HOST"))
 
 
-def domain_salt(url: Column | str, n_salts: int = 8) -> Column:
+def domain_salt(url_canon: Column | str, n_salts: int = 8) -> Column:
     """Partitioning key ``host#k`` with k in [0, n_salts).
 
     Salting splits a hot domain (the Otodom skew named in BASELINE.json)
     across ``n_salts`` partitions; the politeness budget for the domain is
     divided across its salt shards so the aggregate per-domain rate is
     unchanged (crawl/politeness.py).
+
+    MUST be computed on the CANONICAL url: canonical-equal spellings of one
+    URL have to land in the same salt shard, or the sharded Bloom filter sees
+    a false negative and the dedup prefilter leaks duplicates.
     """
-    u = F.col(url) if isinstance(url, str) else url
+    u = F.col(url_canon) if isinstance(url_canon, str) else url_canon
     return F.concat_ws(
         "#", url_domain(u), (F.pmod(F.xxhash64(u), F.lit(n_salts))).cast("string")
     )
@@ -110,5 +114,5 @@ def with_url_keys(df, url_col: str = "url", n_salts: int = 8):
         .withColumn("url_hash32", url_hash32(F.col("url_canon")))
         .withColumn("url_hash64", url_hash64(F.col("url_canon")))
         .withColumn("domain", url_domain(url_col))
-        .withColumn("domain_salt", domain_salt(url_col, n_salts))
+        .withColumn("domain_salt", domain_salt(F.col("url_canon"), n_salts))
     )

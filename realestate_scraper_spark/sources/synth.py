@@ -224,8 +224,10 @@ def make_offers(
                     for k in range(n_photos):
                         img_id = f"img{ordinal:06d}_{k}"
                         o.photo_image_ids.append(img_id)
+                        # image_id embedded in the URL so the engine links
+                        # photos→images relationally (regexp_extract, F5).
                         o.photo_urls.append(
-                            f"https://img.{DOMAINS[source]}/{o.offer_id}/{k}.jpg"
+                            f"https://img.{DOMAINS[source]}/{o.offer_id}/{img_id}.jpg"
                         )
                     offers.append(o)
                     ordinal += 1
@@ -350,10 +352,11 @@ def render_offer_html(o: SynthOffer) -> str:
     return f"<html><head><title>{o.offer_id}</title></head><body>{body}</body></html>"
 
 
-def _shuffle_query(url: str) -> str:
-    """Re-listed URL variant with extra + reordered query params (F1 test)."""
-    sep = "&" if "?" in url else "?"
-    return f"{url}{sep}utm=relist&b=2&a=1"
+def _relist_variant(url: str) -> str:
+    """Re-listed URL spelled differently but canonical-equal (F1 test):
+    trailing slash + fragment — both erased by normalize_url semantics
+    (scrapper/core/dedup.py:7-14), so O1 dedupe must drop it pre-fetch."""
+    return f"{url}/#relist"
 
 
 def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
@@ -390,7 +393,7 @@ def make_site_graph(
                     key=lambda o: (o.slot, o.sub_slot),
                 )
                 child.extend(
-                    _shuffle_query(o.url) for o in prev if o.ordinal % 7 == 2
+                    _relist_variant(o.url) for o in prev if o.ordinal % 7 == 2
                 )
             if page < n_pages:
                 child.append(listing_url(source, page + 1))

@@ -1,0 +1,107 @@
+"""Manifest-committed Parquet tables with per-append lineage.
+
+Stands in for Iceberg in this sandbox (no Iceberg runtime jar is available):
+same write discipline, toy-scale implementation —
+
+- every append writes a fresh snapshot directory, then commits it by
+  atomically replacing ``manifest.json`` (``os.replace``, the same atomic
+  primitive the reference uses for its CSV rewrite dance,
+  scrapper/core/storage.py:53-82 — but appends here are O(new data), never a
+  full-table rewrite);
+- the manifest records per-append lineage: round, stage, row count, snapshot
+  id — the "per-partition lineage manifests" of the north_rule (file-level
+  lineage; Iceberg would track per-data-file stats natively);
+- reads list committed snapshot dirs only, so a crashed half-written append
+  is invisible (snapshot isolation for a single writer).
+
+In production every call site maps 1:1 onto Iceberg:
+``append(df)`` → ``df.writeTo(tbl).append()``; ``read`` → catalog table scan;
+manifest lineage → Iceberg snapshot summary + manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+        self._manifest_path = os.path.join(self.dir, "manifest.json")
+
+    # ------------------------------------------------------------ manifest
+    def _manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # ------------------------------------------------------------------ io
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        round_idx: int = -1,
+        stage: str = "",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        snap_id = f"snap-{len(self._manifest()['snapshots']):05d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.dir, snap_id)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        # Row count from parquet footers (cheap metadata-only job).
+        rows = df.sparkSession.read.parquet(path).count()
+        m = self._manifest()
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "path": path,
+                "rows": rows,
+                "round": round_idx,
+                "stage": stage,
+            }
+        )
+        self._commit(m)
+        return rows
+
+    def overwrite(self, df: DataFrame, *, round_idx: int = -1, stage: str = "") -> int:
+        """Replace table contents (used by checkpoint snapshots)."""
+        old = [s["path"] for s in self._manifest()["snapshots"]]
+        snap_id = f"snap-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.dir, snap_id)
+        df.write.mode("overwrite").parquet(path)
+        rows = df.sparkSession.read.parquet(path).count()
+        self._commit(
+            {"snapshots": [{"id": snap_id, "path": path, "rows": rows,
+                            "round": round_idx, "stage": stage}]}
+        )
+        for p in old:
+            shutil.rmtree(p, ignore_errors=True)
+        return rows
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        paths = [s["path"] for s in self._manifest()["snapshots"]]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def lineage(self) -> list[dict]:
+        return self._manifest()["snapshots"]
+
+    def exists(self) -> bool:
+        return bool(self._manifest()["snapshots"])

@@ -1,0 +1,91 @@
+"""Sequential reference-semantics simulator — the crawl-equivalence oracle.
+
+Re-enacts, single-threaded, exactly what the reference's discover loop does
+(documented semantics, independently implemented — NOT copied code):
+
+- pages crawled strictly in pagination order per source, one source at a time
+  (scrapper/pipelines/stream.py:144-157 is one `for` loop);
+- cards yielded in DOM order within each page (otodom.py:592-614);
+- every discovered offer URL is normalized and checked against the seen set
+  *before* being yielded — duplicates are skipped, the crawl order of the
+  survivors is preserved (dedupe-before-fetch, dedup.py:22-27, O1);
+- stop conditions: end of pagination (no_links), `max_pages` (L2), and two
+  consecutive pages yielding zero new offers (A5, morizon.py:703-709).
+
+Uses the reference's own ``normalize_url`` (imported from the dependency-free
+module scrapper/core/dedup.py) so the seen-set semantics are the reference's
+by construction, not by reimplementation.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/reference")
+from scrapper.core.dedup import DedupeSet, normalize_url  # noqa: E402
+
+_HREF_RE = re.compile(r'<a href="([^"]+)"')
+_PAGE_PARAM_RE = re.compile(r"[?&](?:page|strona)=(\d+)")
+
+
+def simulate_reference_crawl(
+    graph_rows: list[dict],
+    seeds: list[tuple[str, str]],
+    max_pages: int | None = None,
+    no_new_stop: int = 2,
+):
+    """Returns (ordered yields, seen-set, per-source stop reasons).
+
+    yields: list of dicts (source, url, url_canon, page_idx, slot) in the
+    exact sequential order the reference would emit OfferIndex rows.
+    """
+    pages = {normalize_url(r["url"]): r for r in graph_rows}
+    dedupe = DedupeSet()
+    yields: list[dict] = []
+    stop_reasons: dict[str, str] = {}
+
+    for source, seed_url in seeds:
+        current = seed_url
+        streak = 0
+        while True:
+            row = pages.get(normalize_url(current))
+            if row is None:
+                stop_reasons[source] = "fetch_fail"
+                break
+            page_idx = row["page_idx"]
+            if max_pages is not None and page_idx > max_pages:
+                stop_reasons[source] = "max_pages"
+                break
+            links = _HREF_RE.findall(row["html"])
+            next_listing = None
+            new_count = 0
+            for slot, href in enumerate(links):
+                if _PAGE_PARAM_RE.search(href):
+                    next_listing = href
+                    continue
+                if dedupe.seen_url(href):
+                    continue
+                yields.append(
+                    {
+                        "source": source,
+                        "url": href,
+                        "url_canon": normalize_url(href),
+                        "page_idx": page_idx,
+                        "slot": slot,
+                    }
+                )
+                new_count += 1
+            if new_count == 0:
+                streak += 1
+                if streak >= no_new_stop:
+                    stop_reasons[source] = "no_new"
+                    break
+            else:
+                streak = 0
+            if next_listing is None:
+                stop_reasons[source] = "no_links"
+                break
+            current = next_listing
+    seen = set(dedupe._seen_urls)
+    return yields, seen, stop_reasons

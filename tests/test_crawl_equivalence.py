@@ -1,0 +1,176 @@
+"""North-rule gate: the Spark engine's URL-seen set and crawl ordering equal
+the reference's under the identical seed list + politeness budget, plus field
+equality of parsed offers vs the golden expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realestate_scraper_spark.crawl.engine import CrawlEngine
+from realestate_scraper_spark.sources.synth import build_corpus, seed_urls
+from tests.reference_sim import simulate_reference_crawl
+
+N_PAGES = 4
+CARDS = 6
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return build_corpus(seed=42, n_pages=N_PAGES, cards_per_page=CARDS)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, corpus, tmp_path_factory):
+    offers, images, graph = corpus
+    run_dir = str(tmp_path_factory.mktemp("crawl_run"))
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=2)
+    eng.seed(seed_urls())
+    stats = eng.run(max_rounds=20)
+    return eng, stats
+
+
+def test_url_seen_set_equals_reference(engine_run, corpus):
+    offers, _, graph = corpus
+    eng, _ = engine_run
+    yields, _, _ = simulate_reference_crawl(graph, seed_urls())
+    ref_set = {y["url_canon"] for y in yields}
+    got = {
+        r["url_canon"]
+        for r in eng.frontier().filter(F.col("kind") == "offer").collect()
+    }
+    assert got == ref_set
+
+
+def test_crawl_order_equals_reference(engine_run, corpus):
+    """After sorting by the recorded total-order key (page_idx, slot), the
+    engine's per-source offer order equals the reference's sequential yield
+    order (SURVEY.md §7.5 item 1)."""
+    _, _, graph = corpus
+    eng, _ = engine_run
+    yields, _, _ = simulate_reference_crawl(graph, seed_urls())
+    fr = (
+        eng.frontier()
+        .filter(F.col("kind") == "offer")
+        .select("source", "url_canon", "page_idx", "slot")
+        .collect()
+    )
+    for src in {y["source"] for y in yields}:
+        ref_order = [y["url_canon"] for y in yields if y["source"] == src]
+        eng_order = [
+            r["url_canon"]
+            for r in sorted(
+                (r for r in fr if r["source"] == src),
+                key=lambda r: (r["page_idx"], r["slot"]),
+            )
+        ]
+        assert eng_order == ref_order, f"crawl order mismatch for {src}"
+
+
+def test_offer_fields_equal_golden(engine_run, corpus):
+    """Per-row field equality vs golden (input_hint: caption/field equality).
+    Covers F17/F18 reconciliation, P2/P5 gates, inquiry-price nulling."""
+    offers, _, graph = corpus
+    eng, _ = engine_run
+    got = {r["offer_id"]: r.asDict() for r in eng.offers().collect()}
+
+    robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
+    expected = {}
+    for o in offers:
+        g = o.golden_row()
+        if g is not None and o.offer_id not in robots_blocked:
+            expected[g["offer_id"]] = g
+
+    assert set(got) == set(expected)
+    for oid, exp in expected.items():
+        row = got[oid]
+        for k, v in exp.items():
+            if isinstance(v, float):
+                assert row[k] == pytest.approx(v, abs=1e-6), (oid, k, row[k], v)
+            else:
+                assert row[k] == v, (oid, k, row[k], v)
+
+
+def test_rejections_quarantined_not_dropped(engine_run, corpus, spark):
+    offers, _, _ = corpus
+    eng, _ = engine_run
+    q = {r["url"]: r["reject_reason"] for r in eng.t_quarantine.read(spark).collect()}
+    robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
+    for o in offers:
+        if o.offer_id in robots_blocked:
+            continue
+        if o.golden_row() is None:
+            assert o.url in q, f"rejected offer {o.offer_id} missing from quarantine"
+            if o.inquiry_price:
+                assert q[o.url] == "no_price"
+            elif o.missing_geo or o.out_of_bbox:
+                assert q[o.url] == "no_geo"
+
+
+def test_photos_match_golden(engine_run, corpus, spark):
+    """W1 gallery numbering + image-id linkage + srcset best-width pick."""
+    offers, _, _ = corpus
+    eng, _ = engine_run
+    got = {}
+    for r in eng.photos().collect():
+        got.setdefault(r["offer_id"], []).append(r)
+    robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
+    checked = 0
+    for o in offers:
+        if o.offer_id in robots_blocked or not o.photo_urls:
+            continue
+        rows = sorted(got.get(o.offer_id, []), key=lambda r: r["seq"])
+        assert [r["seq"] for r in rows] == list(range(len(o.photo_urls))), o.offer_id
+        assert [r["image_id"] for r in rows] == o.photo_image_ids, o.offer_id
+        checked += 1
+    assert checked > 20
+
+
+def test_images_join_photos(engine_run, corpus, spark):
+    """photos ⨝ images by image_id — every linked image decodes and captions
+    carry the owning offer's descriptor (caption equality, input_hint)."""
+    from realestate_scraper_spark.schemas import IMAGES_SCHEMA
+
+    offers, images, _ = corpus
+    eng, _ = engine_run
+    img_df = spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+    joined = eng.photos().join(img_df, "image_id", "inner")
+    by_offer = {o.offer_id: o for o in offers}
+    for r in joined.select("offer_id", "caption").collect():
+        assert r["caption"] == by_offer[r["offer_id"]].caption()
+
+
+def test_checkpoint_and_metrics_written(engine_run, spark):
+    eng, stats = engine_run
+    cp = {r["source"]: r.asDict() for r in eng.t_checkpoint.read(spark).collect()}
+    assert set(cp) == {"otodom", "morizon", "gratka", "trojmiasto"}
+    for src, row in cp.items():
+        assert row["done"], src
+        assert row["last_page_done"] == N_PAGES, src
+    m = eng.t_metrics.read(spark)
+    assert m.filter(F.col("stage") == "fetch").count() > 0
+    assert stats["pages_fetched"] > 0
+    # lineage manifests recorded per append
+    assert len(eng.t_offers.lineage()) >= 1
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, engine_run):
+    """ST4: stop after 2 rounds, resume in a fresh engine, final tables equal
+    the uninterrupted run's."""
+    _, _, graph = corpus
+    run_dir = str(tmp_path_factory.mktemp("crawl_resume"))
+    eng1 = CrawlEngine(spark, run_dir, graph, n_salts=2)
+    eng1.seed(seed_urls())
+    eng1.run(max_rounds=2)
+
+    eng2 = CrawlEngine.resume(spark, run_dir, graph, n_salts=2)
+    eng2.run(max_rounds=20)
+
+    base, _ = engine_run
+    a = {tuple(sorted(r.asDict().items())) for r in base.offers().collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in eng2.offers().collect()}
+    assert a == b
+    fa = {r["url_canon"] for r in base.frontier().collect()}
+    fb = {r["url_canon"] for r in eng2.frontier().collect()}
+    assert fa == fb

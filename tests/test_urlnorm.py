@@ -95,7 +95,7 @@ def test_hash_and_salt_shapes(spark):
         canonicalize_url("url").alias("c"),
         url_hash32(canonicalize_url("url")).alias("h32"),
         url_hash64(canonicalize_url("url")).alias("h64"),
-        domain_salt("url", 8).alias("ds"),
+        domain_salt(canonicalize_url("url"), 8).alias("ds"),
     ).collect()
     for r in out:
         assert isinstance(r["h32"], int)
@@ -104,8 +104,10 @@ def test_hash_and_salt_shapes(spark):
         assert 0 <= int(salt) < 8
         assert "." in host
 
-    # Same canonical form → same hashes (query order must not matter).
+    # Same canonical form → same hashes AND same salt shard (the Bloom
+    # prefilter would leak duplicates otherwise — regression guard).
     a = [r for r in out if r["c"] == "https://www.otodom.pl/pl/oferta/x?a=1&b=2"]
     assert len(a) >= 3
     assert len({r["h64"] for r in a}) == 1
     assert len({r["h32"] for r in a}) == 1
+    assert len({r["ds"] for r in a}) == 1
