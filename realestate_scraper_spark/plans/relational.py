@@ -1,0 +1,815 @@
+"""Relational operator inventory (SURVEY.md §2.1-2.8) over the driver's
+TPC-H-ish tables, one DuckDB-checkable query per operator family.
+
+Each entry: ``REGISTRY[name] = (spark_fn, oracle_sql)`` where ``spark_fn``
+takes ``(spark, sf_dir)`` and returns a DataFrame whose column NAMES AND
+VALUES match the oracle exactly (the driver hashes values under sorted column
+names).
+
+Determinism rules used throughout:
+- money sums go through ``decimal(18,2)`` so Spark's partial-aggregation
+  order cannot perturb the double sum (then cast back to double on both
+  sides);
+- floating one-shot expressions (trig, division) are rounded to a fixed
+  scale on both sides;
+- every window/top-k has a total-order tiebreak;
+- timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REGISTRY: dict = {}
+
+
+def _reg(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: str):
+    """Order-independent money sum: decimal accumulate, double out."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# --------------------------------------------------------------------- q01
+@_reg(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A3 aggregate family (running ok/fail counters → groupBy agg).
+
+    TPC-H Q1 shape; map-side partial aggregation is free from Catalyst, the
+    one shuffle is on the 2-column group key.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q02
+@_reg(
+    "q02_coverage_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(l.any_line) AS n_with_items,
+           ROUND(COUNT(l.any_line) * 1.0 / COUNT(*), 4) AS coverage
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey, MIN(l_linenumber) AS any_line
+               FROM lineitem GROUP BY l_orderkey) l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q02_coverage_join(spark, sf_dir):
+    """J1: the urls ⟕ offers coverage join (mierzalnosc_excel.py:90-110) —
+    frontier rows left-joined to parsed rows, per-group yield ratio."""
+    orders = t(spark, sf_dir, "orders")
+    lines = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_linenumber").alias("any_line"))
+    )
+    return (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("any_line").alias("n_with_items"),
+            F.round(F.count("any_line") / F.count("*"), 4).alias("coverage"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q03
+@_reg(
+    "q03_anti_join_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def q03_anti_join_customers(spark, sf_dir):
+    """J4/J5 anti-join family (URL-seen / done-region skip)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+# --------------------------------------------------------------------- q04
+@_reg(
+    "q04_region_rollup",
+    """
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q04_region_rollup(spark, sf_dir):
+    """J6/J7 broadcast dim joins: small dims are broadcast (no shuffle of the
+    fact side), exactly the city/TERYT rename-join pattern."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q05
+@_reg(
+    "q05_photo_seq_window",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS seq
+    FROM lineitem
+    """,
+)
+def q05_photo_seq_window(spark, sf_dir):
+    """W1: photo gallery sequence numbering (row_number per group, 0-based) —
+    otodom.py:723 seq assignment."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.row_number().over(w) - 1).alias("seq"),
+    )
+
+
+# --------------------------------------------------------------------- q06
+@_reg(
+    "q06_topk_per_group",
+    """
+    SELECT l_orderkey, l_partkey, rk FROM (
+      SELECT l_orderkey, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+      FROM lineitem) WHERE rk <= 2
+    """,
+)
+def q06_topk_per_group(spark, sf_dir):
+    """W2/L3: per-offer photo limit = windowed top-k with total tiebreak."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+# --------------------------------------------------------------------- q07
+@_reg(
+    "q07_state_replay",
+    """
+    SELECT user_id,
+           ROUND(MAX(CASE WHEN event_type = 'view' THEN value END), 6) AS last_page,
+           BOOL_OR(event_type = 'error') AS had_fail,
+           COUNT(*) AS n_events,
+           ARG_MAX(event_type, ts) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def q07_state_replay(spark, sf_dir):
+    """S13/A7: log-replay recovery — fold the event stream into per-region
+    state {max page, saw-failure, last event} (cli.py:181-275)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("event_type") == "view", F.col("value"))), 6
+            ).alias("last_page"),
+            F.bool_or(F.col("event_type") == "error").alias("had_fail"),
+            F.count("*").alias("n_events"),
+            F.max_by("event_type", "ts").alias("last_type"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q08
+@_reg(
+    "q08_unambiguous_mapping",
+    """
+    SELECT p_type, MIN(p_brand) AS the_brand
+    FROM part GROUP BY p_type
+    HAVING COUNT(DISTINCT p_brand) = 1
+    """,
+)
+def q08_unambiguous_mapping(spark, sf_dir):
+    """A8: keep mapping keys with exactly one distinct target
+    (cities_rename.py:97-109 ambiguity drop)."""
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.min("p_brand").alias("the_brand"),
+            F.countDistinct("p_brand").alias("_n"),
+        )
+        .filter(F.col("_n") == 1)
+        .drop("_n")
+    )
+
+
+# --------------------------------------------------------------------- q09
+@_reg(
+    "q09_except_set",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey % 7 = 0
+    """,
+)
+def q09_except_set(spark, sf_dir):
+    """SO3: region set minus done set (cli.py:722-728) — set EXCEPT (the
+    'done' side is a deterministic subset so the result is non-trivial)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.distinct().exceptAll(s.distinct())
+
+
+# --------------------------------------------------------------------- q10
+@_reg(
+    "q10_union_dedup",
+    """
+    SELECT COUNT(*) AS n_distinct_buyers FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q10_union_dedup(spark, sf_dir):
+    """SO1/SO4: union of link sets + dedup (CSS hits ∪ regex hits)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.union(b).distinct().agg(F.count("*").alias("n_distinct_buyers"))
+
+
+# --------------------------------------------------------------------- q11
+@_reg(
+    "q11_offer_id_extract",
+    """
+    SELECT p_partkey,
+           regexp_extract('https://www.otodom.pl/pl/oferta/x-ID4' || CAST(p_partkey AS VARCHAR),
+                          '-ID(\\w{4,})', 1) AS offer_id
+    FROM part
+    """,
+)
+def q11_offer_id_extract(spark, sf_dir):
+    """F5: offer-id extraction regex (otodom.py:27) over synthesized URLs."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract(
+            F.concat(
+                F.lit("https://www.otodom.pl/pl/oferta/x-ID4"),
+                F.col("p_partkey").cast("string"),
+            ),
+            r"-ID(\w{4,})",
+            1,
+        ).alias("offer_id"),
+    )
+
+
+# --------------------------------------------------------------------- q12
+@_reg(
+    "q12_url_canonicalize",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             'https://www.otodom.pl/pl/oferta/x-ID' || CAST(p_partkey AS VARCHAR) ||
+             CASE WHEN p_partkey % 3 = 0 THEN '/?b=2&a=1#frag'
+                  WHEN p_partkey % 3 = 1 THEN '?b=2&a=1'
+                  ELSE '///' END AS url
+      FROM part),
+    s AS (
+      SELECT p_partkey, url,
+             regexp_replace(split_part(split_part(url,'#',1),'?',1), '/+$', '') AS base,
+             CASE WHEN contains(split_part(url,'#',1), '?')
+                  THEN split_part(split_part(url,'#',1),'?',2) ELSE '' END AS rawq
+      FROM t)
+    SELECT p_partkey,
+           CASE WHEN q = '' THEN base ELSE base || '?' || q END AS url_canon
+    FROM (SELECT p_partkey, base,
+                 COALESCE(array_to_string(list_sort(list_filter(string_split(rawq,'&'), x -> x <> '')), '&'), '') AS q
+          FROM s)
+    """,
+)
+def q12_url_canonicalize(spark, sf_dir):
+    """F1: URL canonicalization as a pure Spark expression, oracle-checked in
+    SQL (reference semantics scrapper/core/dedup.py:7-14)."""
+    from realestate_scraper_spark.functions.urlnorm import canonicalize_url
+
+    url = F.concat(
+        F.lit("https://www.otodom.pl/pl/oferta/x-ID"),
+        F.col("p_partkey").cast("string"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("/?b=2&a=1#frag"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("///")),
+    )
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", canonicalize_url(url).alias("url_canon")
+    )
+
+
+# --------------------------------------------------------------------- q13
+@_reg(
+    "q13_unit_price",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 0
+                THEN FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100.0
+           END AS unit_price
+    FROM lineitem
+    """,
+)
+def q13_unit_price(spark, sf_dir):
+    """F17: price_per_m2 = round(price/area, 2) (morizon.py:573-579).
+
+    Half-up rounding spelled as floor(x*100+0.5)/100 on BOTH sides — Spark
+    ROUND is HALF_UP, DuckDB's is HALF_EVEN, and the .xx5 boundary cases
+    diverge otherwise."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_quantity") > 0,
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5)
+            / 100.0,
+        ).alias("unit_price"),
+    )
+
+
+# --------------------------------------------------------------------- q14
+@_reg(
+    "q14_backsolve",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN ABS(l_quantity - l_extendedprice / displayed_unit) /
+                     (l_extendedprice / displayed_unit) > 0.08
+                THEN FLOOR(l_extendedprice / displayed_unit * 100 + 0.5) / 100.0
+                ELSE l_quantity END AS qty_reconciled
+    FROM (SELECT *,
+                 CASE WHEN l_orderkey % 11 = 7
+                      THEN FLOOR(l_extendedprice / l_quantity * 1.25 * 100 + 0.5) / 100.0
+                      ELSE FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100.0
+                 END AS displayed_unit
+          FROM lineitem WHERE l_quantity > 0)
+    """,
+)
+def q14_backsolve(spark, sf_dir):
+    """F18: 8%-disagreement back-solve (morizon.py:581-593) — when the
+    displayed unit price disagrees with amount/quantity by >8%, re-derive the
+    quantity from amount/unit. Half-up rounding spelled explicitly (see q13).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+
+    def r2(c):
+        return F.floor(c * 100 + 0.5) / 100.0
+
+    displayed = F.when(
+        F.col("l_orderkey") % 11 == 7,
+        r2(F.col("l_extendedprice") / F.col("l_quantity") * 1.25),
+    ).otherwise(r2(F.col("l_extendedprice") / F.col("l_quantity")))
+    li = li.withColumn("displayed_unit", displayed)
+    implied = F.col("l_extendedprice") / F.col("displayed_unit")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.abs(F.col("l_quantity") - implied) / implied > 0.08,
+            r2(implied),
+        )
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_reconciled"),
+    )
+
+
+# --------------------------------------------------------------------- q15
+_HAVERSINE_SQL = """
+    WITH pts AS (
+      SELECT c_custkey, c_nationkey,
+             49.0 + (c_custkey % 590) / 100.0 AS lat,
+             14.0 + (c_custkey % 1050) / 100.0 AS lon
+      FROM customer)
+    SELECT c_nationkey,
+           ROUND(AVG(2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(lat - 52.23) / 2), 2) +
+             COS(RADIANS(52.23)) * COS(RADIANS(lat)) *
+             POW(SIN(RADIANS(lon - 21.01) / 2), 2)))), 3) AS avg_km_to_warsaw
+    FROM pts GROUP BY c_nationkey
+"""
+
+
+@_reg("q15_haversine", _HAVERSINE_SQL)
+def q15_haversine(spark, sf_dir):
+    """F15: haversine great-circle distance (morizon.py:337-346) as pure
+    Spark trig expressions — no UDF."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.lit(49.0) + (F.col("c_custkey") % 590) / 100.0).alias("lat"),
+        (F.lit(14.0) + (F.col("c_custkey") % 1050) / 100.0).alias("lon"),
+    )
+    lat1, lon1 = F.radians(F.lit(52.23)), F.radians(F.lit(21.01))
+    lat2, lon2 = F.radians(F.col("lat")), F.radians(F.col("lon"))
+    d = (
+        F.lit(2 * 6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((lat2 - lat1) / 2), 2)
+                + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
+            )
+        )
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.avg(d), 3).alias("avg_km_to_warsaw")
+    )
+
+
+# --------------------------------------------------------------------- q16
+@_reg(
+    "q16_bbox_filter",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_in_bbox
+    FROM (SELECT c_nationkey,
+                 49.0 + (c_custkey % 590) / 100.0 AS lat,
+                 14.0 + (c_custkey % 1050) / 100.0 AS lon
+          FROM customer)
+    WHERE lat BETWEEN 49.0 AND 54.9 AND lon BETWEEN 14.0 AND 24.5
+    GROUP BY c_nationkey
+    """,
+)
+def q16_bbox_filter(spark, sf_dir):
+    """P5: PL-bbox plausibility filter (morizon.py:23,54-58)."""
+    from realestate_scraper_spark.crawl.refine import in_pl_bbox
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.lit(49.0) + (F.col("c_custkey") % 590) / 100.0).alias("lat"),
+        (F.lit(14.0) + (F.col("c_custkey") % 1050) / 100.0).alias("lon"),
+    )
+    return (
+        c.filter(in_pl_bbox(F.col("lat"), F.col("lon")))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_in_bbox"))
+    )
+
+
+# --------------------------------------------------------------------- q17
+@_reg(
+    "q17_range_delete",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_kept
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 40
+    GROUP BY l_returnflag
+    """,
+)
+def q17_range_delete(spark, sf_dir):
+    """P7: price/footage range delete (delete_wrong_offers.py:12-15) as the
+    complementary keep-filter."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(10, 40))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_kept"),
+            _dsum("l_quantity").alias("qty_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q18
+@_reg(
+    "q18_freshness",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_recent
+    FROM orders
+    WHERE o_orderdate >= (SELECT MAX(o_orderdate) - INTERVAL 30 DAY FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q18_freshness(spark, sf_dir):
+    """P10/F13: freshness filter (last-N-days) — partition-pruning predicate
+    at scale (morizon.py:652-659)."""
+    o = t(spark, sf_dir, "orders")
+    cutoff = o.agg(
+        F.date_sub(F.max("o_orderdate"), 30).alias("cut")
+    ).collect()[0]["cut"]
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit(cutoff))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_recent"))
+    )
+
+
+# --------------------------------------------------------------------- q19
+@_reg(
+    "q19_daily_rollup",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           COUNT_IF(value > 50) AS n_high
+    FROM events GROUP BY 1
+    """,
+)
+def q19_daily_rollup(spark, sf_dir):
+    """A6/F14: per-page found/new stats analog — per-day counters."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q20
+@_reg(
+    "q20_hourly_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q20_hourly_window(spark, sf_dir):
+    """ST1 tumbling-window aggregation (batch form of the streaming windowed
+    count; Structured Streaming uses the same expression over readStream)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------- q21
+@_reg(
+    "q21_json_extract",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q21_json_extract(spark, sf_dir):
+    """F23/F24: JSON field scavenging from a text payload."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(
+                    F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
+                ),
+                6,
+            ).alias("avg_k")
+        )
+    )
+
+
+# --------------------------------------------------------------------- q22
+@_reg(
+    "q22_slugify",
+    """
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
+                          '(^-)|(-$)', '', 'g') AS slug
+    FROM part
+    """,
+)
+def q22_slugify(spark, sf_dir):
+    """F2: slugify (otodom.py:35-39) — lower, non-alnum→'-', trim dashes."""
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("p_name")), "[^a-z0-9]+", "-"),
+        "(^-)|(-$)",
+        "",
+    )
+    return t(spark, sf_dir, "part").select("p_partkey", slug.alias("slug"))
+
+
+# --------------------------------------------------------------------- q23
+@_reg(
+    "q23_spatial_dup_join",
+    """
+    SELECT a.event_type, COUNT(*) AS n_dup_pairs
+    FROM (SELECT event_id, event_type, value, FLOOR(value) AS bucket FROM events) a
+    JOIN (SELECT event_id, event_type, value, FLOOR(value) AS bucket FROM events) b
+      ON a.bucket = b.bucket AND a.event_type = b.event_type
+         AND a.event_id < b.event_id
+         AND ABS(a.value - b.value) <= 0.05
+    GROUP BY a.event_type
+    """,
+)
+def q23_spatial_dup_join(spark, sf_dir):
+    """J3: the spatial-similarity duplicate join (backend.py:58-93 — within
+    50 m ∧ ±price ∧ ±area) as the bucketed equi-join + theta post-filter
+    pattern: equi-join on a coarse bucket, then the exact range predicate.
+    (Same-bucket candidates only — the oracle uses the identical rule.)"""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.floor("value").alias("bucket")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.value") - F.col("b.value")) <= 0.05),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+# --------------------------------------------------------------------- q24
+@_reg(
+    "q24_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q24_topk_global(spark, sf_dir):
+    """L1: global top-k with total-order tiebreak (stream offer-limit brake).
+    Spark plans this as TakeOrderedAndProject — no full sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------- q25
+@_reg(
+    "q25_multiformat_date",
+    """
+    SELECT o_orderkey,
+           strftime(COALESCE(
+             try_strptime(datestr, '%Y-%m-%d'),
+             try_strptime(datestr, '%d.%m.%Y')), '%Y-%m-%d') AS parsed
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 2 = 0
+                      THEN strftime(o_orderdate, '%Y-%m-%d')
+                      ELSE strftime(o_orderdate, '%d.%m.%Y') END AS datestr
+          FROM orders)
+    """,
+)
+def q25_multiformat_date(spark, sf_dir):
+    """F11/F12: multi-format date parse cascade (ISO + Polish dd.mm.yyyy) via
+    coalesce of to_timestamp attempts (otodom.py:210-217, gratka.py:43-74)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .otherwise(F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .alias("datestr"),
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("datestr"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("datestr"), F.lit("dd.MM.yyyy")),
+    )
+    return o.select(
+        "o_orderkey", F.date_format(parsed, "yyyy-MM-dd").alias("parsed")
+    )
+
+
+# --------------------------------------------------------------------- q26
+@_reg(
+    "q26_sessionize",
+    """
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions FROM (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                             OVER (PARTITION BY user_id ORDER BY ts)
+                             > 1800000000 OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events))
+    GROUP BY user_id
+    """,
+)
+def q26_sessionize(spark, sf_dir):
+    """ST9-adjacent: sessionization (30-min gap) via lag + running sum —
+    the batch twin of applyInPandasWithState session windows. Counts events
+    per user grouped into sessions; emits sessions per user."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    e = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    e = e.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        e.groupBy("user_id", "session_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+# --------------------------------------------------------------------- q27
+@_reg(
+    "q27_error_streak",
+    """
+    SELECT user_id, MAX(streak) AS max_error_streak FROM (
+      SELECT user_id, COUNT(*) AS streak
+      FROM (SELECT user_id, rn_all - rn_err AS grp, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn_all2
+            FROM (SELECT user_id, ts, event_type,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn_all,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, event_type = 'error' ORDER BY ts) AS rn_err
+                  FROM events)
+            WHERE event_type = 'error')
+      GROUP BY user_id, grp)
+    GROUP BY user_id
+    """,
+)
+def q27_error_streak(spark, sf_dir):
+    """A5: consecutive-failure streak (the no-new-pages auto-stop rule,
+    morizon.py:697-709) via gaps-and-islands."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w_all = Window.partitionBy("user_id").orderBy("ts")
+    w_err = Window.partitionBy(
+        "user_id", F.col("event_type") == "error"
+    ).orderBy("ts")
+    e = e.withColumn("rn_all", F.row_number().over(w_all)).withColumn(
+        "rn_err", F.row_number().over(w_err)
+    )
+    errs = e.filter(F.col("event_type") == "error").withColumn(
+        "grp", F.col("rn_all") - F.col("rn_err")
+    )
+    return (
+        errs.groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak"))
+        .groupBy("user_id")
+        .agg(F.max("streak").alias("max_error_streak"))
+    )
