@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+materialization through the noop sink, plus crawl and image-decode
+throughput runs on the deterministic synthetic corpus.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ...,
+         "throughput": {crawl_pages_per_sec, offer_rows_per_sec,
+                        images_decoded_per_sec}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_coverage_join",
+    "q05_photo_seq_window",
+    "q06_topk_per_group",
+    "q07_state_replay",
+    "q23_spatial_dup_join",
+    "q26_sessionize",
+    "q30_dedup_exact",
+    "q31_minhash_signatures",
+    "q32_minhash_band_pairs",
+    "q34_simhash",
+    "q39_ann_brute_topk",
+    "q40_ann_lsh_buckets",
+    "q41_embedding_near_dup",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from realestate_scraper_spark.plans import relational, trainingdata
+    from realestate_scraper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    registry: dict = {}
+    registry.update(relational.REGISTRY)
+    registry.update(trainingdata.REGISTRY)
+
+    # warm the JVM + parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = registry[name]
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # ---- crawl throughput on the synthetic web
+    from realestate_scraper_spark.crawl.engine import CrawlEngine
+    from realestate_scraper_spark.sources.synth import build_corpus, seed_urls
+
+    _, images, graph = build_corpus(seed=42, n_pages=10, cards_per_page=12)
+    run_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.monotonic()
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=4)
+    eng.seed(seed_urls())
+    stats = eng.run(max_rounds=30)
+    crawl_sec = time.monotonic() - t0
+    timings["crawl_end_to_end"] = round(crawl_sec, 3)
+
+    # ---- image decode throughput (Arrow-batched pandas stage)
+    from realestate_scraper_spark.functions.images import (
+        IMAGE_META_FIELDS,
+        decode_meta_batches,
+    )
+    from realestate_scraper_spark.schemas import IMAGES_SCHEMA
+
+    img_df = spark.createDataFrame(images, schema=IMAGES_SCHEMA).repartition(cpus)
+    img_df.cache().count()
+    n_images = img_df.count()
+    t0 = time.monotonic()
+    _force(
+        img_df.select("image_id", "bytes").mapInPandas(
+            decode_meta_batches, schema=IMAGE_META_FIELDS
+        )
+    )
+    img_sec = time.monotonic() - t0
+    timings["image_decode"] = round(img_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput": {
+            "crawl_pages_per_sec": round(stats["pages_fetched"] / crawl_sec, 2),
+            "offer_rows_per_sec": round(stats["offers_parsed"] / crawl_sec, 2),
+            "images_decoded_per_sec": round(n_images / img_sec, 2),
+            "crawl_pages_fetched": stats["pages_fetched"],
+            "crawl_offers_parsed": stats["offers_parsed"],
+            "n_images": n_images,
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

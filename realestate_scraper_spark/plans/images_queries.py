@@ -1,0 +1,81 @@
+"""Image-pipeline queries (rows-only: binary decode UDFs are not
+SQL-expressible, so the driver records the weaker rows-only check; the strict
+pixel/pHash invariants are asserted in tests/test_images.py instead).
+
+The images input is synthesized deterministically in-process (the exact
+input_hint table shape) — no external data; sf_dir only scales row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_scraper_spark.functions.images import (
+    IMAGE_META_FIELDS,
+    decode_meta_batches,
+)
+from realestate_scraper_spark.schemas import IMAGES_SCHEMA
+from realestate_scraper_spark.sources.synth import build_corpus
+
+REGISTRY: dict = {}
+
+
+def _images_df(spark: SparkSession, n_pages: int = 3) -> DataFrame:
+    _, images, _ = build_corpus(seed=42, n_pages=n_pages, cards_per_page=6)
+    return spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+
+
+def q50_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized image UDF of the input_hint: sniff + decode + sha256 +
+    pHash per Arrow batch (mapInPandas), over the exact input-hint schema."""
+    return _images_df(spark).select("image_id", "bytes").mapInPandas(
+        decode_meta_batches, schema=IMAGE_META_FIELDS
+    )
+
+
+def q51_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup: images bucketed by the top byte of phash, candidate
+    pairs verified by Hamming distance ≤ 8 via bit_count(xor) — all JVM-side
+    expressions after the decode stage."""
+    imgs = _images_df(spark).select("image_id", "phash")
+    bucket = F.shiftrightunsigned(F.col("phash"), 56)
+    a = imgs.withColumn("bucket", bucket).alias("a")
+    b = imgs.withColumn("bucket", bucket).alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 8)
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            "hamming",
+        )
+    )
+
+
+def q52_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl of the synthetic 4-portal web (mock fetch, politeness,
+    Bloom dedup, parse, refine) returning the offers table — the engine's
+    flagship path as a single query."""
+    import tempfile
+
+    from realestate_scraper_spark.crawl.engine import CrawlEngine
+    from realestate_scraper_spark.sources.synth import seed_urls
+
+    _, _, graph = build_corpus(seed=42, n_pages=3, cards_per_page=6)
+    run_dir = tempfile.mkdtemp(prefix="crawl_q52_")
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=10)
+    return eng.offers()
+
+
+REGISTRY["q50_image_decode_meta"] = (q50_image_decode_meta, None)
+REGISTRY["q51_phash_near_dup"] = (q51_phash_near_dup, None)
+REGISTRY["q52_crawl_end_to_end"] = (q52_crawl_end_to_end, None)

@@ -1,0 +1,599 @@
+"""Training-data pipeline operators — dedup families, similarity search,
+text analysis — as first-class DataFrame queries with DuckDB oracles.
+
+These are the large-scale data-curation operations a 100 TB training-data
+pipeline needs on top of the crawl (documents/embeddings tables):
+
+- exact dedup (hash-groupBy), MinHash+LSH near-dup (shingle → minhash →
+  band → bucket-join), SimHash, n-gram Jaccard verification,
+  embedding-cosine near-dup;
+- approximate nearest neighbours: brute-force cosine top-k baseline and an
+  LSH-bucketed candidate-generation variant (the scale path: bucket
+  equi-join replaces the O(n²) cross join);
+- language-ID (stopword-hit heuristic), quality scoring, token counting
+  (whitespace + BPE-ish regex), document fingerprinting.
+
+Cross-engine determinism: all hashing is md5 (identical hex in Spark and
+DuckDB); minhash = lexicographic MIN over md5 hex strings; SimHash bit
+arithmetic is integer-only; LSH hyperplanes are PRECOMPUTED python literals
+inlined into both the Spark plan and the SQL (no trig at query time);
+float32 embeddings are cast to float64 before any arithmetic.
+
+Scale notes (100 TB design): every self-join here goes through a bucket
+(band / LSH bucket / hash prefix) equi-join — never a cross join; the
+shuffle key is the bucket, and AQE handles band skew. MinHash bands are
+independent columns so band-joins parallelize; at 10^10 docs you'd salt the
+hottest band buckets exactly like the crawl salts hot domains.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REGISTRY: dict = {}
+
+
+def _reg(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------- shared bits
+N_SEEDS = 4  # minhash signature length
+HEX = "0123456789abcdef"
+
+# 8 LSH hyperplanes × 64 dims, deterministic literals (sin grid rounded to 6
+# decimals at module import — NO trig inside either engine at query time).
+LSH_PLANES: list[list[float]] = [
+    [round(math.sin(j * 131 + d * 7.0), 6) for d in range(64)] for j in range(8)
+]
+
+
+def _augmented_docs_sql() -> str:
+    """documents ∪ mutated copies (doc_id+100000, one word appended) — the
+    deterministic near-dup corpus both engines construct identically."""
+    return """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    """
+
+
+def _augmented_docs(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return d.unionByName(mut)
+
+
+def _shingles_expr(text_col):
+    """3-word shingles; docs shorter than 3 words shingle to the whole text."""
+    words = F.split(F.trim(text_col), r"\s+")
+    n = F.size(words)
+    tri = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+            F.element_at(words, i + 3)
+        ),
+    )
+    return F.when(n < 3, F.array(F.trim(text_col))).otherwise(tri)
+
+
+_SHINGLES_SQL = """
+      CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+           THEN [trim(text)]
+           ELSE list_transform(
+                  range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+                  i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                       regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                       regexp_split_to_array(trim(text), '\\s+')[i+2])
+      END
+"""
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, sig0..sig3): per-seed lexicographic min over md5(seed|shingle)."""
+    docs = _augmented_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"sig{s}")
+        for s in range(N_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SQL = f"""
+    WITH docs AS ({_augmented_docs_sql()}),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM docs)
+    SELECT doc_id,
+           MIN(md5('0|' || sh)) AS sig0,
+           MIN(md5('1|' || sh)) AS sig1,
+           MIN(md5('2|' || sh)) AS sig2,
+           MIN(md5('3|' || sh)) AS sig3
+    FROM sh GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- q30
+@_reg(
+    "q30_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+    GROUP BY md5(text)
+    """,
+)
+def q30_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keep-min — the canonical first pass of any
+    training-data pipeline. Exact copies constructed deterministically.
+
+    Scale: one shuffle on the 128-bit content hash; at 100 TB hash first,
+    never shuffle raw text (project text_hash before the exchange)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return (
+        d.unionByName(dup)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q31
+@_reg("q31_minhash_signatures", _MINHASH_SQL)
+def q31_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: shingle → explode → per-seed min of md5.
+
+    Lexicographic min over md5 hex is a valid uniform minhash and is
+    byte-identical across engines. Shuffle: one groupBy(doc_id) — at scale
+    the explode stays narrow and partial-min combines map-side."""
+    return _minhash_sigs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------- q32
+@_reg(
+    "q32_minhash_band_pairs",
+    f"""
+    WITH sigs AS ({_MINHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
+    """,
+)
+def q32_minhash_band_pairs(spark, sf_dir):
+    """LSH banding: candidate pairs sharing band (sig0, sig1) — the
+    bucket-equi-join that replaces the O(n²) comparison. The constructed
+    near-dup copies (one appended word) collide here with high probability."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.sig0") == F.col("b.sig0"))
+        & (F.col("a.sig1") == F.col("b.sig1"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+
+# --------------------------------------------------------------------- q33
+@_reg(
+    "q33_ngram_jaccard",
+    f"""
+    WITH docs AS ({_augmented_docs_sql()}),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM docs),
+    pairs AS (SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+              FROM documents WHERE doc_id % 10 = 0),
+    inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+              FROM pairs p
+              JOIN sh x ON x.doc_id = p.doc_a
+              JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+              GROUP BY p.doc_a, p.doc_b),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           FLOOR(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) * 10000 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def q33_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard verification of near-dup candidates: distinct-shingle
+    intersection over union for each constructed (original, mutated) pair.
+    The verify stage that follows MinHash candidate generation."""
+    docs = _augmented_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
+    ).distinct()
+    pairs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 100000).alias("doc_b"),
+        )
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.sh") == F.col("x.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000 + 0.5) / 10000.0).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q34
+def _simhash_sql() -> str:
+    # 16-bit SimHash from the first 4 hex chars of md5(token): integer-only
+    # bit arithmetic, identical in both engines.
+    val = (
+        "((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 + "
+        "(strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256 + "
+        "(strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16 + "
+        "(strpos('0123456789abcdef', substr(md5(tok),4,1))-1))"
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (v // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    vals AS (SELECT doc_id, {val} AS v FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM vals GROUP BY doc_id)
+    SELECT doc_id, {recompose} AS simhash16 FROM bits
+    """
+
+
+@_reg("q34_simhash", _simhash_sql())
+def q34_simhash(spark, sf_dir):
+    """SimHash (16-bit) fingerprinting: per-token md5 → bit votes → majority.
+    Pure integer expressions; at 64 bits the same plan just widens the vote
+    columns (kept at 16 here so the oracle SQL stays legible)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+
+    def hexval(pos: int):
+        return F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1
+
+    v = hexval(1) * 4096 + hexval(2) * 256 + hexval(3) * 16 + hexval(4)
+    vals = toks.select("doc_id", v.alias("v"))
+    bit_aggs = [
+        F.sum(
+            F.when((F.col("v").cast("long") / (1 << j)).cast("long") % 2 == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    bits = vals.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.alias("simhash16"))
+
+
+# --------------------------------------------------------------------- q35
+_STOPWORDS_EN = r"\b(the|a|of|to|in|and|is|on|for|with)\b"
+
+
+@_reg(
+    "q35_langid",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(lower(text), '{_STOPWORDS_EN}')) * 1.0 /
+                     len(regexp_split_to_array(trim(text), '\\s+')) > 0.02
+                THEN 'en' ELSE 'unk' END AS lang_pred,
+           len(regexp_extract_all(lower(text), '{_STOPWORDS_EN}')) AS stopword_hits
+    FROM documents
+    """,
+)
+def q35_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio (n-gram-free variant; the
+    oracle checks the computation — the synthetic corpus shares one
+    vocabulary so label recovery is not the point)."""
+    hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOPWORDS_EN), 0))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hits * 1.0 / n_tok > 0.02, "en").otherwise("unk").alias("lang_pred"),
+        hits.alias("stopword_hits"),
+    )
+
+
+# --------------------------------------------------------------------- q36
+@_reg(
+    "q36_quality_score",
+    """
+    SELECT doc_id, n_tokens, punct, mean_tok_len,
+           FLOOR((LEAST(n_tokens, 100) * 1.0 / 100
+                  - punct * 1.0 / GREATEST(n_tokens, 1) * 0.5
+                  + LEAST(mean_tok_len, 10) / 20) * 10000 + 0.5) / 10000.0 AS quality
+    FROM (SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+                 FLOOR(length(regexp_replace(text, '\\s+', '', 'g')) * 10000.0 /
+                       len(regexp_split_to_array(trim(text), '\\s+')) + 0.5) / 10000.0
+                   AS mean_tok_len
+          FROM documents)
+    """,
+)
+def q36_quality_score(spark, sf_dir):
+    """Quality scoring: length / punctuation / token-shape ratios combined
+    into one deterministic score (the usual pre-training quality gate)."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), 0))
+    mean_tok_len = (
+        F.floor(
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            * 10000.0
+            / n_tokens
+            + 0.5
+        )
+        / 10000.0
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct.alias("punct"),
+        mean_tok_len.alias("mean_tok_len"),
+    )
+    quality = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 1.0 / 100
+        - F.col("punct") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1)) * 0.5
+        + F.least(F.col("mean_tok_len"), F.lit(10.0)) / 20
+    )
+    return d.select(
+        "doc_id", "n_tokens", "punct", "mean_tok_len",
+        (F.floor(quality * 10000 + 0.5) / 10000.0).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------- q37
+@_reg(
+    "q37_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q37_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digits / single symbols) — the budget estimator for training
+    corpora."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+# --------------------------------------------------------------------- q38
+@_reg(
+    "q38_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q38_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized lowercase text
+    (the rolling-hash role; md5 keeps the oracle byte-identical)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------- q39
+def _cosine_cols():
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (nq * nc)
+
+
+@_reg(
+    "q39_ann_brute_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, cand_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS sim
+      FROM q CROSS JOIN c)
+    SELECT query_id, cand_id, rk FROM (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM scored) WHERE rk <= 3
+    """,
+)
+def q39_ann_brute_topk(spark, sf_dir):
+    """Similarity search, exact baseline: brute-force cosine top-k. The
+    query side is tiny → broadcast; candidates never shuffle. At 100 TB this
+    is the rerank stage that follows LSH/IVF candidate generation (q40)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id", _cosine_cols().alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.select("query_id", "cand_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------- q40
+def _lsh_plane_sql(j: int) -> str:
+    lit = "[" + ", ".join(f"{x!r}" for x in LSH_PLANES[j]) + "]"
+    return f"CASE WHEN list_dot_product(v, {lit}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END"
+
+
+@_reg(
+    "q40_ann_lsh_buckets",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, {" + ".join(_lsh_plane_sql(j) for j in range(8))} AS bucket
+    FROM e
+    """,
+)
+def q40_ann_lsh_buckets(spark, sf_dir):
+    """Similarity search, scale path: random-hyperplane LSH bucket ids.
+    Candidate generation = equi-join on bucket (plus neighbor buckets for
+    multi-probe) instead of a cross join; hyperplanes are fixed literals so
+    both engines compute identical signs."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucket = None
+    for j in range(8):
+        plane = F.array(*[F.lit(x) for x in LSH_PLANES[j]])
+        dot = F.aggregate(
+            F.zip_with("v", plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return e.select("vec_id", bucket.alias("bucket"))
+
+
+# --------------------------------------------------------------------- q41
+@_reg(
+    "q41_embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e
+            UNION ALL
+            SELECT vec_id + 100000, v FROM e WHERE vec_id % 25 = 0),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS sim
+      FROM aug a JOIN aug b
+        ON a.vec_id % 25 = b.vec_id % 25 AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b FROM pairs WHERE sim > 0.9999
+    """,
+)
+def q41_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: exact copies injected at vec_id+100000,
+    candidate pairs generated by a bucket equi-join (vec_id mod 25 — the
+    stand-in for an LSH bucket), verified by cosine > threshold."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "v"
+        )
+    )
+    a = aug.alias("a")
+    b = aug.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") % 25 == F.col("b.vec_id") % 25)
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (na * nb)).alias("sim"),
+        )
+        .filter(F.col("sim") > 0.9999)
+        .select("vec_a", "vec_b")
+    )
