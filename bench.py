@@ -75,7 +75,9 @@ def main() -> None:
     from realestate_scraper_spark.crawl.engine import CrawlEngine
     from realestate_scraper_spark.sources.synth import build_corpus, seed_urls
 
-    _, images, graph = build_corpus(seed=42, n_pages=10, cards_per_page=12)
+    # wide pages: throughput-representative (per-round driver cost is fixed;
+    # work per round scales with cards — the cluster-scale shape)
+    _, images, graph = build_corpus(seed=42, n_pages=4, cards_per_page=64)
     run_dir = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.monotonic()
     eng = CrawlEngine(spark, run_dir, graph, n_salts=4)

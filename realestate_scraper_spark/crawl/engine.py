@@ -20,8 +20,20 @@ from the run directory and continues where the previous process stopped —
 kill-and-resume yields the same final tables as an uninterrupted run
 (idempotent re-dedup makes overlap harmless).
 
-The driver-side loop is the one intentionally imperative piece (the crawl is
-inherently iterative — same as the reference's `while True` pagination,
+Driver-job budget: a round is expensive at 10^10 scale only through its
+Spark actions, so the loop runs a FIXED, small number of them —
+  (a) one fetch+summary aggregation (politeness metrics, per-partition
+      lineage counters, listing sources — one collect),
+  (b) one collect of the round's NEW frontier rows (bounded by the round's
+      link yield, not frontier size) which also feeds the Bloom shards
+      driver-side,
+  (c) the offers/photos/quarantine appends and the frontier rewrite
+      (Iceberg MERGE INTO in production — the rewrite here is the sandbox
+      stand-in),
+  (d) one per-source checkpoint aggregation over the new frontier.
+Row counts come from parquet footers (no counting jobs). The driver-side
+loop is the one intentionally imperative piece (the crawl is inherently
+iterative — same as the reference's `while True` pagination,
 otodom.py:484-617); every step inside a round is a declarative DataFrame op.
 """
 
@@ -29,6 +41,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,12 +53,17 @@ from realestate_scraper_spark.crawl import refine as refine_mod
 from realestate_scraper_spark.crawl.bloom import ShardedBloom
 from realestate_scraper_spark.schemas import (
     CHECKPOINT_SCHEMA,
+    FRONTIER_SCHEMA,
     METRICS_SCHEMA,
     STATUS_DONE,
     STATUS_FAILED,
     STATUS_PENDING,
 )
-from realestate_scraper_spark.sources.tables import ParquetTable
+from realestate_scraper_spark.sources.tables import ParquetTable, _rows_from_footers
+
+
+def _rows_under(path: str) -> int:
+    return _rows_from_footers(path) if os.path.isdir(path) else 0
 
 
 class CrawlEngine:
@@ -62,6 +80,7 @@ class CrawlEngine:
         no_new_stop: int = 2,
         real_sleep: bool = False,
         bloom_fpp: float = 0.01,
+        append_coalesce: int | None = 4,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -72,15 +91,25 @@ class CrawlEngine:
         self.no_new_stop = no_new_stop
         self.real_sleep = real_sleep
         self.bloom_fpp = bloom_fpp
+        # small per-round appends get coalesced at toy scale; None = leave
+        # the write parallelism alone (the 100 TB setting).
+        self.append_coalesce = append_coalesce
 
         os.makedirs(run_dir, exist_ok=True)
         self.t_frontier = ParquetTable(run_dir, "frontier")
+        # raw zone: one staged append per round (refined parse output,
+        # partitioned by validity so counts come from parquet footers);
+        # curated offers/photos/quarantine are views over it, durably
+        # materialized once per run in _finalize_curated().
+        self.t_staged = ParquetTable(run_dir, "staged")
         self.t_offers = ParquetTable(run_dir, "offers")
         self.t_photos = ParquetTable(run_dir, "photos")
         self.t_quarantine = ParquetTable(run_dir, "quarantine")
         self.t_metrics = ParquetTable(run_dir, "metrics")
-        self.t_checkpoint = ParquetTable(run_dir, "checkpoint")
         self.bloom_path = os.path.join(run_dir, "bloom.npz")
+        # checkpoint state is tiny driver state → atomic JSON, exactly the
+        # reference's *_state.json pattern (cli.py:128-139)
+        self.checkpoint_path = os.path.join(run_dir, "checkpoint.json")
 
         self.page_store_bc = spark.sparkContext.broadcast(
             fetch_mod.build_page_store(graph_rows)
@@ -89,36 +118,70 @@ class CrawlEngine:
         # per-source streak of consecutive listing pages with zero new offers
         self._no_new_streak: dict[str, int] = {}
         self._stopped: dict[str, str] = {}  # source → stop_reason
+        self._sources: set[str] = set()
         self._offers_total = 0
         self.round_idx = 0
+        # Driver-tracked frontier progress (kept in lockstep with the table
+        # so checkpointing never needs a read-back aggregation):
+        self._pending_listing_pages: dict[str, set[int]] = {}
+        self._pending_offers: dict[str, int] = {}
+        self._last_page_done: dict[str, int] = {}
+        self._metrics_buf: list[tuple] = []
 
     # ------------------------------------------------------------- seeding
     def seed(self, seeds: list[tuple[str, str]]) -> None:
         df = frontier_mod.seed_frontier(self.spark, seeds, self.n_salts)
         frontier_mod.assert_frontier_schema(df)
-        self.t_frontier.overwrite(df, round_idx=0, stage="seed")
+        rows = df.collect()
+        self.t_frontier.overwrite(
+            self.spark.createDataFrame(rows, FRONTIER_SCHEMA).coalesce(1),
+            round_idx=0,
+            stage="seed",
+        )
         self.bloom = ShardedBloom(fpp=self.bloom_fpp)
-        self._merge_bloom(df)
+        self._bloom_add_rows(rows)
+        self._track_new_rows(rows)
         self._write_checkpoint()
 
     # -------------------------------------------------------------- resume
     @classmethod
     def resume(cls, spark: SparkSession, run_dir: str, graph_rows: list[dict], **kw):
+        import json
+
         eng = cls(spark, run_dir, graph_rows, **kw)
-        cp = eng.t_checkpoint.read(spark)
-        if cp is not None:
-            for r in cp.collect():
-                eng.round_idx = max(eng.round_idx, r["round"])
-                if r["done"] and r["stop_reason"]:
-                    eng._stopped[r["source"]] = r["stop_reason"]
-            off = eng.t_offers.read(spark)
-            eng._offers_total = off.count() if off is not None else 0
+        if os.path.exists(eng.checkpoint_path):
+            with open(eng.checkpoint_path) as f:
+                state = json.load(f)
+            for src, v in state.items():
+                eng.round_idx = max(eng.round_idx, v["round"])
+                if v["done"] and v["stop_reason"] not in (None, "no_links"):
+                    eng._stopped[src] = v["stop_reason"]
+                eng._offers_total = max(
+                    eng._offers_total, v["processed_offers_last_run"]
+                )
         if os.path.exists(eng.bloom_path):
             eng.bloom = ShardedBloom.load(eng.bloom_path, fpp=eng.bloom_fpp)
         else:
             fr = eng.t_frontier.read(spark)
             if fr is not None:
                 eng.bloom = ShardedBloom.build(fr, fpp=eng.bloom_fpp)
+        fr = eng.t_frontier.read(spark)
+        if fr is not None:
+            for r in fr.collect():
+                eng._sources.add(r["source"])
+                if r["status"] == STATUS_PENDING:
+                    if r["kind"] == "listing":
+                        eng._pending_listing_pages.setdefault(
+                            r["source"], set()
+                        ).add(r["page_idx"])
+                    else:
+                        eng._pending_offers[r["source"]] = (
+                            eng._pending_offers.get(r["source"], 0) + 1
+                        )
+                elif r["kind"] == "listing" and r["status"] == STATUS_DONE:
+                    eng._last_page_done[r["source"]] = max(
+                        eng._last_page_done.get(r["source"], 0), r["page_idx"]
+                    )
         return eng
 
     # ---------------------------------------------------------- round loop
@@ -132,17 +195,26 @@ class CrawlEngine:
             stats["pages_fetched"] += fetched_n
             stats["offers_parsed"] += offers_n
             if self.offer_limit and self._offers_total >= self.offer_limit:
-                for src in self._active_sources():
+                for src in self._sources:
                     self._stopped.setdefault(src, "offer_limit")
                 self._write_checkpoint()
                 break
+        self._flush_metrics()
+        self.finalize_curated()
         return stats
 
-    def _active_sources(self) -> list[str]:
-        fr = self.t_frontier.read(self.spark)
-        if fr is None:
-            return []
-        return [r["source"] for r in fr.select("source").distinct().collect()]
+    def _flush_metrics(self) -> None:
+        if not self._metrics_buf:
+            return
+        self.t_metrics.append(
+            self.spark.createDataFrame(self._metrics_buf, METRICS_SCHEMA).coalesce(1),
+            round_idx=self.round_idx,
+            stage="metrics",
+        )
+        self._metrics_buf = []
+
+    def _coalesced(self, df: DataFrame) -> DataFrame:
+        return df.coalesce(self.append_coalesce) if self.append_coalesce else df
 
     def _one_round(self) -> tuple[bool, int, int]:
         t_start = time.monotonic()
@@ -150,7 +222,6 @@ class CrawlEngine:
         fr = self.t_frontier.read(self.spark)
         if fr is None:
             return False, 0, 0
-        fr = fr.cache()
 
         pending = fr.filter(F.col("status") == STATUS_PENDING)
         if self.max_pages is not None:
@@ -158,8 +229,7 @@ class CrawlEngine:
                 (F.col("kind") != "listing") | (F.col("page_idx") <= self.max_pages)
             )
         if self._stopped:
-            stopped = list(self._stopped)
-            pending = pending.filter(~F.col("source").isin(stopped))
+            pending = pending.filter(~F.col("source").isin(list(self._stopped)))
 
         # Sequential pagination per source: only the lowest pending listing
         # page is eligible this round (its successor is discovered on it).
@@ -172,17 +242,27 @@ class CrawlEngine:
             F.broadcast(next_pages), on=["source", "page_idx"], how="left_semi"
         )
         offer_batch = pending.filter(F.col("kind") == "offer")
-        batch = listing_batch.unionByName(offer_batch).cache()
-        batch_n = batch.count()
-        if batch_n == 0:
-            # nothing pending → finalize done flags
-            self._finalize_done(fr)
-            fr.unpersist()
-            return False, 0, 0
+        batch = listing_batch.unionByName(offer_batch)
 
         fetched = fetch_mod.fetch(
             batch, self.page_store_bc, self.n_salts, real_sleep=self.real_sleep
         ).cache()
+
+        # ---- ACTION 1: fetch summary (batch size, lineage counters,
+        #      listing sources, status mix) in one aggregation.
+        summary = (
+            fetched.groupBy("source", "domain_salt", "kind", "fetch_status", "page_idx")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        batch_n = sum(r["n"] for r in summary)
+        if batch_n == 0:
+            fetched.unpersist()
+            self._finalize_done(fr)
+            return False, 0, 0
+        listing_sources = {r["source"] for r in summary if r["kind"] == "listing"}
+        self._sources.update(r["source"] for r in summary)
+        self._track_fetched(summary)
 
         # ---- listings → new frontier candidates
         listings = fetched.filter(F.col("kind") == "listing")
@@ -191,38 +271,36 @@ class CrawlEngine:
         ).mapInPandas(parse_mod.extract_links_batches, schema=parse_mod.LINKS_FIELDS)
         candidates = frontier_mod.classify_and_key_links(links, self.n_salts)
         fresh = frontier_mod.anti_join_seen(candidates, fr, self.bloom)
-        new_rows = frontier_mod.finish_new_rows(fresh, self.round_idx).cache()
-        new_n = new_rows.count()
 
-        # per-source new-offer counts for the no_new stop rule (A5/A6)
-        new_offer_counts = {
-            r["source"]: r["n"]
-            for r in new_rows.filter(F.col("kind") == "offer")
-            .groupBy("source")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        listing_sources = [
-            r["source"] for r in listings.select("source").distinct().collect()
-        ]
+        # ---- ACTION 2: collect the round's new rows (bounded by link yield)
+        new_rows_local = frontier_mod.finish_new_rows(fresh, self.round_idx).collect()
+        new_n = len(new_rows_local)
+        new_df = self.spark.createDataFrame(new_rows_local, FRONTIER_SCHEMA)
+        self._bloom_add_rows(new_rows_local)
+        self._track_new_rows(new_rows_local)
 
-        # ---- offers → parse → refine → sinks
+        new_offer_counts: dict[str, int] = defaultdict(int)
+        for r in new_rows_local:
+            if r["kind"] == "offer":
+                new_offer_counts[r["source"]] += 1
+
+        # ---- offers → parse → refine → ONE staged append (raw zone);
+        #      curated tables are views finalized once per run.
         offers_fetched = fetched.filter(
             (F.col("kind") == "offer") & (F.col("fetch_status") == fetch_mod.FETCH_OK)
         )
         parsed = offers_fetched.select(
             "url", "url_canon", "source", "page_idx", "slot", "sub_slot", "html"
         ).mapInPandas(parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS)
-        valid, quarantine = refine_mod.refine_offers(parsed)
-        photos = refine_mod.explode_photos(parsed, self.photo_limit)
-
-        offers_n = self.t_offers.append(
-            valid, round_idx=self.round_idx, stage="offers"
+        staged = refine_mod.refined(parsed)
+        self.t_staged.append(
+            self._coalesced(staged),
+            round_idx=self.round_idx,
+            stage="staged",
+            partition_by=["is_valid"],
         )
-        self.t_photos.append(photos, round_idx=self.round_idx, stage="photos")
-        self.t_quarantine.append(
-            quarantine, round_idx=self.round_idx, stage="quarantine"
-        )
+        snap_path = self.t_staged.lineage()[-1]["path"]
+        offers_n = _rows_under(os.path.join(snap_path, "is_valid=true"))
         self._offers_total += offers_n
 
         # ---- frontier transitions: fetched rows leave PENDING
@@ -237,14 +315,13 @@ class CrawlEngine:
             .withColumn("status", F.coalesce("new_status", "status"))
             .drop("new_status")
         )
-        next_frontier = updated.unionByName(new_rows)
+        next_frontier = updated.unionByName(new_df)
         self.t_frontier.overwrite(
             next_frontier, round_idx=self.round_idx, stage="frontier"
         )
-        self._merge_bloom(new_rows)
         self.bloom.save(self.bloom_path)
 
-        # ---- stop rules
+        # ---- stop rules (A5 no-new streak)
         for src in listing_sources:
             if new_offer_counts.get(src, 0) == 0:
                 streak = self._no_new_streak.get(src, 0) + 1
@@ -255,95 +332,159 @@ class CrawlEngine:
                 self._no_new_streak[src] = 0
 
         # ---- metrics (per-partition lineage: per domain_salt counters)
-        per_part = (
-            fetched.groupBy("domain_salt")
-            .agg(
-                F.count("*").alias("rows_in"),
-                F.sum(
-                    F.when(F.col("fetch_status") == fetch_mod.FETCH_OK, 1).otherwise(0)
-                ).alias("rows_out"),
-                F.sum(
-                    F.when(F.col("fetch_status") != fetch_mod.FETCH_OK, 1).otherwise(0)
-                ).alias("failures"),
-            )
-            .collect()
-        )
         wall_ms = (time.monotonic() - t_start) * 1000
-        metrics_rows = [
-            (
-                self.round_idx, "fetch", i, r["domain_salt"],
-                int(r["rows_in"]), int(r["rows_out"]), int(r["failures"]), wall_ms,
-            )
-            for i, r in enumerate(per_part)
-        ] + [(self.round_idx, "discover", -1, None, int(batch_n), int(new_n), 0, wall_ms),
-         (self.round_idx, "offers", -1, None, int(batch_n), int(offers_n), 0, wall_ms)]
-        self.t_metrics.append(
-            self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA),
-            round_idx=self.round_idx,
-            stage="metrics",
+        per_part: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+        for r in summary:
+            acc = per_part[r["domain_salt"]]
+            acc[0] += r["n"]
+            if r["fetch_status"] == fetch_mod.FETCH_OK:
+                acc[1] += r["n"]
+            else:
+                acc[2] += r["n"]
+        self._metrics_buf.extend(
+            [
+                (self.round_idx, "fetch", i, salt, a[0], a[1], a[2], wall_ms)
+                for i, (salt, a) in enumerate(sorted(per_part.items()))
+            ]
+            + [
+                (self.round_idx, "discover", -1, None, batch_n, new_n, 0, wall_ms),
+                (self.round_idx, "offers", -1, None, batch_n, offers_n, 0, wall_ms),
+            ]
         )
 
+        # checkpoint from driver-tracked progress — no read-back aggregation
         self._write_checkpoint()
         fetched.unpersist()
-        batch.unpersist()
-        new_rows.unpersist()
-        fr.unpersist()
         return True, batch_n, offers_n
 
     # ------------------------------------------------------------ teardown
     def _finalize_done(self, fr: DataFrame) -> None:
-        for src in [r["source"] for r in fr.select("source").distinct().collect()]:
+        for src in sorted(self._sources) or [
+            r["source"] for r in fr.select("source").distinct().collect()
+        ]:
             self._stopped.setdefault(src, "no_links")
         self._write_checkpoint()
+        self._flush_metrics()
 
-    def _merge_bloom(self, df: DataFrame) -> None:
-        if df.isEmpty():
-            return
-        add = ShardedBloom.build(df, fpp=self.bloom_fpp)
-        self.bloom.merge(add)
+    def _bloom_add_rows(self, rows) -> None:
+        by_salt: dict[str, list[int]] = defaultdict(list)
+        for r in rows:
+            by_salt[r["domain_salt"]].append(r["url_hash64"])
+        for salt, hashes in by_salt.items():
+            self.bloom.add_local(salt, hashes)
+
+    def _track_new_rows(self, rows) -> None:
+        for r in rows:
+            self._sources.add(r["source"])
+            if r["kind"] == "listing":
+                pages = self._pending_listing_pages.setdefault(r["source"], set())
+                pages.add(r["page_idx"])
+            else:
+                self._pending_offers[r["source"]] = (
+                    self._pending_offers.get(r["source"], 0) + 1
+                )
+
+    def _track_fetched(self, summary) -> None:
+        for r in summary:
+            src = r["source"]
+            if r["kind"] == "listing":
+                self._pending_listing_pages.get(src, set()).discard(r["page_idx"])
+                if r["fetch_status"] == fetch_mod.FETCH_OK:
+                    self._last_page_done[src] = max(
+                        self._last_page_done.get(src, 0), r["page_idx"]
+                    )
+            else:
+                self._pending_offers[src] = max(
+                    0, self._pending_offers.get(src, 0) - r["n"]
+                )
+
+    def _n_pending(self, src: str) -> int:
+        pages = self._pending_listing_pages.get(src, set())
+        if self.max_pages is not None:
+            pages = {p for p in pages if p <= self.max_pages}
+        return len(pages) + self._pending_offers.get(src, 0)
 
     def _write_checkpoint(self) -> None:
-        fr = self.t_frontier.read(self.spark)
-        rows = []
-        if fr is not None:
-            prog = (
-                fr.filter((F.col("kind") == "listing") & (F.col("status") == STATUS_DONE))
-                .groupBy("source")
-                .agg(F.max("page_idx").alias("last_page_done"))
-                .collect()
-            )
-            pending_src = {
-                r["source"]
-                for r in fr.filter(F.col("status") == STATUS_PENDING)
-                .select("source")
-                .distinct()
-                .collect()
+        import json
+
+        state = {}
+        for src in sorted(self._sources):
+            reason = self._stopped.get(src)
+            done = reason is not None or self._n_pending(src) == 0
+            state[src] = {
+                "region": src,
+                "done": done,
+                "last_page_done": int(self._last_page_done.get(src, 0)),
+                "stop_reason": reason if reason else ("no_links" if done else None),
+                "processed_offers_last_run": int(self._offers_total),
+                "round": self.round_idx,
+                "bloom_snapshot": self.bloom_path
+                if os.path.exists(self.bloom_path)
+                else None,
             }
-            last = {r["source"]: r["last_page_done"] for r in prog}
-            srcs = {r["source"] for r in fr.select("source").distinct().collect()}
-            for src in sorted(srcs):
-                reason = self._stopped.get(src)
-                done = reason is not None or src not in pending_src
-                rows.append(
-                    (
-                        src, src, done, int(last.get(src, 0)),
-                        reason if reason else ("no_links" if done else None),
-                        int(self._offers_total), self.round_idx,
-                        self.bloom_path if os.path.exists(self.bloom_path) else None,
-                    )
-                )
-        self.t_checkpoint.overwrite(
-            self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA),
-            round_idx=self.round_idx,
-            stage="checkpoint",
-        )
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self.checkpoint_path)
+
+    def checkpoint_df(self) -> DataFrame:
+        import json
+
+        with open(self.checkpoint_path) as f:
+            state = json.load(f)
+        rows = [
+            (
+                src, v["region"], v["done"], v["last_page_done"],
+                v["stop_reason"], v["processed_offers_last_run"], v["round"],
+                v["bloom_snapshot"],
+            )
+            for src, v in sorted(state.items())
+        ]
+        return self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
 
     # ------------------------------------------------------------- results
+    def staged(self) -> DataFrame | None:
+        st = self.t_staged.read(self.spark)
+        if st is None:
+            return None
+        # is_valid is a directory partition column → inferred as string
+        return st.withColumn("is_valid", F.col("is_valid").cast("boolean"))
+
     def offers(self) -> DataFrame | None:
-        return self.t_offers.read(self.spark)
+        from realestate_scraper_spark.schemas import OFFER_COLUMNS
+
+        st = self.staged()
+        if st is None:
+            return None
+        return st.filter(F.col("is_valid")).select(*OFFER_COLUMNS)
 
     def photos(self) -> DataFrame | None:
-        return self.t_photos.read(self.spark)
+        st = self.staged()
+        if st is None:
+            return None
+        return refine_mod.explode_photos(st, self.photo_limit)
+
+    def quarantine(self) -> DataFrame | None:
+        st = self.staged()
+        if st is None:
+            return None
+        return st.filter(~F.col("is_valid")).select(
+            "url", "source", "page_idx", "slot", "reject_reason"
+        )
 
     def frontier(self) -> DataFrame | None:
         return self.t_frontier.read(self.spark)
+
+    def finalize_curated(self) -> None:
+        """Materialize the curated offers/photos/quarantine tables from the
+        raw staged zone — one write each per run (the reference's batched
+        flush, O4, at run granularity)."""
+        for table, df in (
+            (self.t_offers, self.offers()),
+            (self.t_photos, self.photos()),
+            (self.t_quarantine, self.quarantine()),
+        ):
+            if df is not None:
+                table.overwrite(
+                    self._coalesced(df), round_idx=self.round_idx, stage="curated"
+                )

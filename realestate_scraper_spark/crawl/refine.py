@@ -52,8 +52,11 @@ def in_pl_bbox(lat: Column, lon: Column) -> Column:
     )
 
 
-def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """parsed raw fields → (valid offers 11-col, quarantine with reason)."""
+def refined(parsed: DataFrame) -> DataFrame:
+    """parsed raw fields → canonical columns + is_valid + reject_reason.
+
+    Single expression pass; callers project the offers / quarantine views
+    from it (and the engine stages exactly this frame once per round)."""
     lat0, lon0 = F.col("raw_lat"), F.col("raw_lon")
     geo_ok = in_pl_bbox(lat0, lon0)
     lat = F.when(geo_ok, lat0)
@@ -62,8 +65,6 @@ def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     price = F.col("raw_price")
     ppm2_disp = F.col("raw_ppm2")
     implied_area = price / ppm2_disp
-    # F18: trust price & displayed ppm2 over the stated area when they
-    # disagree by more than 8%.
     area = F.when(
         price.isNotNull()
         & ppm2_disp.isNotNull()
@@ -85,13 +86,13 @@ def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn(
             "price_per_m2",
             F.when(
-                price.isNotNull() & F.col("area_m2").isNotNull() & (F.col("area_m2") != 0),
+                price.isNotNull()
+                & F.col("area_m2").isNotNull()
+                & (F.col("area_m2") != 0),
                 F.round(price / F.col("area_m2"), 2),
             ),
         )
     )
-
-    # P2 completeness gate — the REQ_FIELDS conjunction (detail.py:21).
     required = [
         "price_amount", "city", "area_m2", "rooms", "lat", "lon", "offer_id",
     ]
@@ -99,8 +100,6 @@ def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     for c in required:
         complete = complete & F.col(c).isNotNull()
     complete = complete & (F.col("city") != "") & (F.col("offer_id") != "")
-
-    valid = base.filter(complete).select(*OFFER_COLUMNS)
     reason = (
         F.when(~F.col("parse_ok"), "parse_fail")
         .when(F.col("price_amount").isNull(), "no_price")
@@ -108,8 +107,17 @@ def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
         .when(F.col("offer_id").isNull() | (F.col("offer_id") == ""), "no_offer_id")
         .otherwise("incomplete")
     )
-    quarantine = base.filter(~complete).select(
-        "url", "source", "page_idx", "slot", reason.alias("reject_reason")
+    return base.withColumn("is_valid", complete).withColumn(
+        "reject_reason", F.when(~complete, reason)
+    )
+
+
+def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """parsed raw fields → (valid offers 11-col, quarantine with reason)."""
+    r = refined(parsed)
+    valid = r.filter(F.col("is_valid")).select(*OFFER_COLUMNS)
+    quarantine = r.filter(~F.col("is_valid")).select(
+        "url", "source", "page_idx", "slot", F.col("reject_reason")
     )
     return valid, quarantine
 

@@ -236,6 +236,63 @@ def sha256_hex(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+# ------------------------------------------------------- synth primitives
+def synth_pixels(seed_key: tuple, w: int, h: int) -> np.ndarray:
+    """Deterministic structured RGB content (gradient + seeded noise).
+
+    Shared by the driver-side corpus generator and the executor-side
+    distributed synthesis stage so both produce identical images for a key.
+    """
+    rng = np.random.default_rng(seed_key)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+    return np.stack(
+        [
+            (base + rng.integers(0, 32, (h, w))) % 256,
+            (base // 2 + rng.integers(0, 32, (h, w))) % 256,
+            (255 - base + rng.integers(0, 32, (h, w))) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+SYNTH_DECODE_FIELDS = (
+    "image_id string, w int, h int, fmt string, sha256 string, phash long, "
+    "psnr_ok boolean"
+)
+
+
+def synth_decode_batches(
+    batches: Iterator["pd.DataFrame"],  # noqa: F821
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Distributed image pipeline stage: spec → synthesize → encode → decode
+    → sha256/pHash → PSNR verification, all inside the Arrow batch.
+
+    Input columns: image_id, seed, k, w, h, fmt. This is the heavy
+    per-row-CPU stage used by the scaling benchmark (the 100 TB analog:
+    decode+thumbnail+pHash over in-table blobs); it has no driver-side state
+    and scales linearly with cores.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        out = {c: [] for c in ("image_id", "w", "h", "fmt", "sha256", "phash", "psnr_ok")}
+        for image_id, seed, k, w, h, fmt in zip(
+            pdf["image_id"], pdf["seed"], pdf["k"], pdf["w"], pdf["h"], pdf["fmt"]
+        ):
+            rgb = synth_pixels((int(seed), int(k)), int(w), int(h))
+            data = encode_image(rgb, fmt)
+            dec = decode_image(data, fmt)
+            out["image_id"].append(image_id)
+            out["w"].append(dec.shape[1])
+            out["h"].append(dec.shape[0])
+            out["fmt"].append(fmt)
+            out["sha256"].append(sha256_hex(data))
+            out["phash"].append(phash64(dec))
+            out["psnr_ok"].append(psnr(rgb, dec) >= 40.0)
+        yield pd.DataFrame(out)
+
+
 # ----------------------------------------------------- Spark batch stages
 IMAGE_META_FIELDS = (
     "image_id string, w int, h int, fmt string, sha256 string, phash long, "

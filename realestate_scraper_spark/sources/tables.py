@@ -26,7 +26,22 @@ import os
 import shutil
 import uuid
 
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _rows_from_footers(path: str) -> int:
+    """Row count from parquet footers on the local FS — no Spark job.
+
+    On a real cluster this is the Iceberg snapshot summary (row counts are
+    manifest metadata there too; never re-scan data to count it)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 class ParquetTable:
@@ -64,8 +79,7 @@ class ParquetTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        # Row count from parquet footers (cheap metadata-only job).
-        rows = df.sparkSession.read.parquet(path).count()
+        rows = _rows_from_footers(path)
         m = self._manifest()
         m["snapshots"].append(
             {
@@ -85,7 +99,7 @@ class ParquetTable:
         snap_id = f"snap-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.dir, snap_id)
         df.write.mode("overwrite").parquet(path)
-        rows = df.sparkSession.read.parquet(path).count()
+        rows = _rows_from_footers(path)
         self._commit(
             {"snapshots": [{"id": snap_id, "path": path, "rows": rows,
                             "round": round_idx, "stage": stage}]}
@@ -95,10 +109,24 @@ class ParquetTable:
         return rows
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        paths = [s["path"] for s in self._manifest()["snapshots"]]
+        # zero-row snapshots have no parquet files (schema inference would
+        # fail) — the manifest row count lets us skip them
+        paths = [
+            s["path"] for s in self._manifest()["snapshots"] if s["rows"] > 0
+        ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return spark.read.parquet(paths[0])
+        # Snapshots may be individually partitioned (k=v subdirs); reading
+        # them as one multi-path scan trips partition discovery, so union
+        # per-snapshot scans (Iceberg reads via manifests and has no such
+        # issue).
+        dfs = [spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def lineage(self) -> list[dict]:
         return self._manifest()["snapshots"]

@@ -95,7 +95,7 @@ def test_offer_fields_equal_golden(engine_run, corpus):
 def test_rejections_quarantined_not_dropped(engine_run, corpus, spark):
     offers, _, _ = corpus
     eng, _ = engine_run
-    q = {r["url"]: r["reject_reason"] for r in eng.t_quarantine.read(spark).collect()}
+    q = {r["url"]: r["reject_reason"] for r in eng.quarantine().collect()}
     robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
     for o in offers:
         if o.offer_id in robots_blocked:
@@ -143,7 +143,7 @@ def test_images_join_photos(engine_run, corpus, spark):
 
 def test_checkpoint_and_metrics_written(engine_run, spark):
     eng, stats = engine_run
-    cp = {r["source"]: r.asDict() for r in eng.t_checkpoint.read(spark).collect()}
+    cp = {r["source"]: r.asDict() for r in eng.checkpoint_df().collect()}
     assert set(cp) == {"otodom", "morizon", "gratka", "trojmiasto"}
     for src, row in cp.items():
         assert row["done"], src
@@ -152,7 +152,7 @@ def test_checkpoint_and_metrics_written(engine_run, spark):
     assert m.filter(F.col("stage") == "fetch").count() > 0
     assert stats["pages_fetched"] > 0
     # lineage manifests recorded per append
-    assert len(eng.t_offers.lineage()) >= 1
+    assert len(eng.t_staged.lineage()) >= 1
 
 
 def test_kill_and_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, engine_run):
