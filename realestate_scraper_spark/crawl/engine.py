@@ -27,10 +27,13 @@ Spark actions, so the loop runs a FIXED, small number of them —
   (b) one collect of the round's NEW frontier rows (bounded by the round's
       link yield, not frontier size) which also feeds the Bloom shards
       driver-side,
-  (c) the offers/photos/quarantine appends and the frontier rewrite
-      (Iceberg MERGE INTO in production — the rewrite here is the sandbox
-      stand-in),
-  (d) one per-source checkpoint aggregation over the new frontier.
+  (c) ONE staged append of the refined parse output (the raw zone;
+      offers/photos/quarantine are views over it, materialized once per
+      run) and the frontier rewrite (Iceberg MERGE INTO in production —
+      the rewrite here is the sandbox stand-in).
+Checkpoint progress (pending pages/offers, last page done) is tracked
+driver-side in lockstep with the table and written as atomic JSON, so no
+read-back aggregation runs per round; metrics rows buffer and flush once.
 Row counts come from parquet footers (no counting jobs). The driver-side
 loop is the one intentionally imperative piece (the crawl is inherently
 iterative — same as the reference's `while True` pagination,
@@ -81,6 +84,7 @@ class CrawlEngine:
         real_sleep: bool = False,
         bloom_fpp: float = 0.01,
         append_coalesce: int | None = 4,
+        robots_rules: dict | None = None,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -94,6 +98,9 @@ class CrawlEngine:
         # small per-round appends get coalesced at toy scale; None = leave
         # the write parallelism alone (the 100 TB setting).
         self.append_coalesce = append_coalesce
+        # domain → RobotsRules; when set, robots gating runs as a pure
+        # expression BEFORE any politeness budget is spent (crawl/politeness)
+        self.robots_rules = robots_rules
 
         os.makedirs(run_dir, exist_ok=True)
         self.t_frontier = ParquetTable(run_dir, "frontier")
@@ -213,6 +220,48 @@ class CrawlEngine:
         )
         self._metrics_buf = []
 
+    def retry_failed(self) -> int:
+        """ST5 retry rounds: re-enqueue FAILED rows (except robots-blocked)
+        as PENDING with attempts+1 — the reference's \'retry only fetch_fail
+        regions\' loop (cli.py:731-816) at URL granularity. Returns the
+        number of re-enqueued rows."""
+        fr = self.t_frontier.read(self.spark)
+        if fr is None:
+            return 0
+        retryable = F.col("status") == STATUS_FAILED
+        reset = fr.withColumn(
+            "attempts",
+            F.when(retryable, F.col("attempts") + 1).otherwise(F.col("attempts")),
+        ).withColumn(
+            "status",
+            F.when(retryable, STATUS_PENDING).otherwise(F.col("status")),
+        )
+        rows = reset.select(*[f.name for f in FRONTIER_SCHEMA.fields]).collect()
+        self.t_frontier.overwrite(
+            self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
+            round_idx=self.round_idx,
+            stage="retry_reset",
+        )
+        n = 0
+        # rebuild driver-tracked pending state for the re-enqueued rows
+        for r in rows:
+            if r["status"] == STATUS_PENDING and r["attempts"] > 0:
+                n += 1
+                if r["kind"] == "listing":
+                    self._pending_listing_pages.setdefault(
+                        r["source"], set()
+                    ).add(r["page_idx"])
+                else:
+                    self._pending_offers[r["source"]] = (
+                        self._pending_offers.get(r["source"], 0) + 1
+                    )
+        # failed sources get another chance at their stop state
+        self._stopped = {
+            k: v for k, v in self._stopped.items() if v in ("no_new", "offer_limit")
+        }
+        self._no_new_streak.clear()
+        return n
+
     def _coalesced(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.append_coalesce) if self.append_coalesce else df
 
@@ -244,9 +293,30 @@ class CrawlEngine:
         offer_batch = pending.filter(F.col("kind") == "offer")
         batch = listing_batch.unionByName(offer_batch)
 
-        fetched = fetch_mod.fetch(
-            batch, self.page_store_bc, self.n_salts, real_sleep=self.real_sleep
-        ).cache()
+        if self.robots_rules:
+            from realestate_scraper_spark.crawl import politeness
+
+            gated = politeness.apply_robots(batch, self.robots_rules)
+            allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
+            blocked = gated.filter(~F.col("robots_allowed"))
+            fetched_ok = fetch_mod.fetch(
+                allowed, self.page_store_bc, self.n_salts,
+                real_sleep=self.real_sleep,
+            )
+            blocked_rows = blocked.select(
+                "url", "url_canon", "url_hash64", "source", "domain",
+                "domain_salt", "kind", "page_idx", "slot", "sub_slot",
+                "attempts",
+                F.lit(None).cast("string").alias("html"),
+                F.lit(fetch_mod.FETCH_ROBOTS).alias("fetch_status"),
+                F.lit(-1.0).alias("fetched_at_ms"),
+            )
+            fetched = fetched_ok.unionByName(blocked_rows).cache()
+        else:
+            fetched = fetch_mod.fetch(
+                batch, self.page_store_bc, self.n_salts,
+                real_sleep=self.real_sleep,
+            ).cache()
 
         # ---- ACTION 1: fetch summary (batch size, lineage counters,
         #      listing sources, status mix) in one aggregation.
@@ -315,7 +385,8 @@ class CrawlEngine:
             .withColumn("status", F.coalesce("new_status", "status"))
             .drop("new_status")
         )
-        next_frontier = updated.unionByName(new_df)
+        cols = [f.name for f in FRONTIER_SCHEMA.fields]
+        next_frontier = updated.select(*cols).unionByName(new_df)
         self.t_frontier.overwrite(
             next_frontier, round_idx=self.round_idx, stage="frontier"
         )

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import time
 from collections.abc import Iterator
-from dataclasses import dataclass
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -36,23 +34,24 @@ from pyspark.sql import functions as F
 FETCH_RESULT_FIELDS = (
     "url string, url_canon string, url_hash64 long, source string, "
     "domain string, domain_salt string, kind string, page_idx int, slot int, "
-    "sub_slot int, html string, fetch_status string, fetched_at_ms double"
+    "sub_slot int, attempts int, html string, fetch_status string, "
+    "fetched_at_ms double"
 )
 
 FETCH_OK = "OK"
 FETCH_ROBOTS = "ROBOTS"
 FETCH_MISSING = "MISSING"
+FETCH_TRANSIENT = "TRANSIENT"  # 429/503-style; retryable (ST8)
 
 
-@dataclass
-class PageRecord:
-    html: str
-    robots_allow: bool
-    crawl_delay_ms: int
+def build_page_store(
+    graph_rows: list[dict],
+) -> dict[str, tuple[str, bool, int, bool]]:
+    """url_canon → (html, robots_allow, crawl_delay_ms, flaky).
 
-
-def build_page_store(graph_rows: list[dict]) -> dict[str, tuple[str, bool, int]]:
-    """url_canon → (html, robots_allow, crawl_delay_ms) for the broadcast."""
+    ``flaky`` pages fail transiently on the first attempt (the synthetic
+    stand-in for 429/503 + Retry-After, scrapper/core/http.py:69-76) and
+    succeed on retries — exercised by the ST5 retry-rounds test."""
     from realestate_scraper_spark.functions.urlnorm import canonicalize_url_py
 
     return {
@@ -60,6 +59,7 @@ def build_page_store(graph_rows: list[dict]) -> dict[str, tuple[str, bool, int]]
             r["html"],
             bool(r["robots_allow"]),
             int(r["crawl_delay_ms"]),
+            bool(r.get("flaky", False)),
         )
         for r in graph_rows
     }
@@ -82,18 +82,30 @@ def make_fetch_stage(
         t0 = time.monotonic()
         for pdf in batches:
             out_html, out_status, out_at = [], [], []
-            for url_canon, domain in zip(pdf["url_canon"], pdf["domain"]):
+            for url_canon, domain, attempts in zip(
+                pdf["url_canon"], pdf["domain"], pdf["attempts"]
+            ):
                 rec = store.get(url_canon)
                 if rec is None:
                     out_html.append(None)
                     out_status.append(FETCH_MISSING)
                     out_at.append(-1.0)
                     continue
-                html, allow, delay_ms = rec
+                html, allow, delay_ms, flaky = rec
                 if not allow:
                     out_html.append(None)
                     out_status.append(FETCH_ROBOTS)
                     out_at.append(-1.0)
+                    continue
+                if flaky and int(attempts) == 0:
+                    # transient 429/503 — budget IS spent (the request went
+                    # out), result is retryable
+                    eff_delay = delay_ms * n_salts
+                    at = max(next_free.get(domain, 0.0), 0.0)
+                    next_free[domain] = at + eff_delay
+                    out_html.append(None)
+                    out_status.append(FETCH_TRANSIENT)
+                    out_at.append(at)
                     continue
                 eff_delay = delay_ms * n_salts  # shard's share of the budget
                 at = max(next_free.get(domain, 0.0), 0.0)
@@ -118,6 +130,7 @@ def make_fetch_stage(
                     "page_idx": pdf["page_idx"],
                     "slot": pdf["slot"],
                     "sub_slot": pdf["sub_slot"],
+                    "attempts": pdf["attempts"],
                     "html": out_html,
                     "fetch_status": out_status,
                     "fetched_at_ms": out_at,
@@ -137,7 +150,7 @@ def fetch(
     the politeness-governed batch fetch."""
     cols = [
         "url", "url_canon", "url_hash64", "source", "domain", "domain_salt",
-        "kind", "page_idx", "slot", "sub_slot",
+        "kind", "page_idx", "slot", "sub_slot", "attempts",
     ]
     stage = make_fetch_stage(page_store_bc, n_salts, real_sleep=real_sleep)
     return (

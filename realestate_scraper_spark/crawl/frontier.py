@@ -14,10 +14,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realestate_scraper_spark.functions.urlnorm import (
-    canonicalize_url_py,
-    with_url_keys,
-)
+from realestate_scraper_spark.functions.urlnorm import with_url_keys
 from realestate_scraper_spark.schemas import FRONTIER_SCHEMA, STATUS_PENDING
 
 # listing-page URL page-number parameter per source (synth.listing_url shapes)
@@ -105,6 +102,7 @@ def _finish_frontier_rows(df: DataFrame, round_idx: int, n_salts: int) -> DataFr
         F.lit(round_idx).alias("round"),
         priority_expr(F.col("page_idx"), F.col("kind")).alias("priority"),
         F.lit(None).cast("double").alias("retry_at"),
+        F.lit(0).alias("attempts"),
     )
 
 
@@ -127,6 +125,7 @@ def finish_new_rows(candidates: DataFrame, round_idx: int) -> DataFrame:
         F.lit(round_idx).alias("round"),
         priority_expr(F.col("page_idx"), F.col("kind")).alias("priority"),
         F.lit(None).cast("double").alias("retry_at"),
+        F.lit(0).alias("attempts"),
     )
 
 

@@ -20,7 +20,6 @@ import json
 import re
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 
 LINKS_FIELDS = (

@@ -813,3 +813,69 @@ def q27_error_streak(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.max("streak").alias("max_error_streak"))
     )
+
+
+# --------------------------------------------------------------------- q28
+@_reg(
+    "q28_spatial_offer_dups",
+    """
+    WITH offers AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
+             52.0 + (c_custkey % 200) / 1000.0 AS lat,
+             19.0 + (c_custkey % 300) / 1000.0 AS lon,
+             ROUND(c_acctbal * 100, 0) AS price_amount,
+             30.0 + (c_custkey % 90) AS area_m2
+      FROM customer
+      UNION ALL
+      SELECT 'dup' || CAST(c_custkey AS VARCHAR),
+             52.0 + (c_custkey % 200) / 1000.0 + 0.00018,
+             19.0 + (c_custkey % 300) / 1000.0,
+             ROUND(c_acctbal * 100, 0) + 50,
+             30.0 + (c_custkey % 90) + 0.5
+      FROM customer WHERE c_custkey % 50 = 0),
+    cells AS (
+      SELECT *, CAST(FLOOR(lat / 0.001) AS BIGINT) AS cl,
+                CAST(FLOOR(lon / 0.001) AS BIGINT) AS cn
+      FROM offers),
+    a AS (SELECT c.*, cl + d1.o AS kcl, cn + d2.o AS kcn
+          FROM cells c,
+               (VALUES (-1),(0),(1)) d1(o),
+               (VALUES (-1),(0),(1)) d2(o)),
+    pairs AS (
+      SELECT a.offer_id AS offer_a, b.offer_id AS offer_b,
+             2 * 6371008.8 * ASIN(SQRT(
+               POW(SIN(RADIANS(b.lat - a.lat) / 2), 2) +
+               COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+               POW(SIN(RADIANS(b.lon - a.lon) / 2), 2))) AS dist_m,
+             ABS(a.price_amount - b.price_amount) AS dp,
+             ABS(a.area_m2 - b.area_m2) AS da
+      FROM a JOIN cells b
+        ON a.kcl = b.cl AND a.kcn = b.cn AND a.offer_id < b.offer_id)
+    SELECT DISTINCT offer_a, offer_b
+    FROM pairs WHERE dist_m <= 50 AND dp <= 100 AND da <= 1
+    """,
+)
+def q28_spatial_offer_dups(spark, sf_dir):
+    """J3: the spatial-similarity duplicate join (backend.py:58-93) through
+    the engine operator (geo-cell kernel equi-join + haversine/price/area
+    post-filter) over a deterministic offers table with injected near-dups
+    (+20 m, +50 price, +0.5 m²)."""
+    from realestate_scraper_spark.operators.spatial import spatial_duplicate_pairs
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("offer_id"),
+        (F.lit(52.0) + (F.col("c_custkey") % 200) / 1000.0).alias("lat"),
+        (F.lit(19.0) + (F.col("c_custkey") % 300) / 1000.0).alias("lon"),
+        F.round(F.col("c_acctbal") * 100, 0).alias("price_amount"),
+        (F.lit(30.0) + (F.col("c_custkey") % 90)).alias("area_m2"),
+    )
+    dups = c.filter(F.col("c_custkey") % 50 == 0).select(
+        F.concat(F.lit("dup"), F.col("c_custkey").cast("string")).alias("offer_id"),
+        (F.lit(52.0) + (F.col("c_custkey") % 200) / 1000.0 + 0.00018).alias("lat"),
+        (F.lit(19.0) + (F.col("c_custkey") % 300) / 1000.0).alias("lon"),
+        (F.round(F.col("c_acctbal") * 100, 0) + 50).alias("price_amount"),
+        (F.lit(30.0) + (F.col("c_custkey") % 90) + 0.5).alias("area_m2"),
+    )
+    offers = base.unionByName(dups)
+    return spatial_duplicate_pairs(offers).select("offer_a", "offer_b")

@@ -50,6 +50,7 @@ FRONTIER_SCHEMA = T.StructType(
         # Priority key (O12): smaller = sooner. freshness_days then depth.
         T.StructField("priority", T.LongType(), False),
         T.StructField("retry_at", T.DoubleType(), True),  # Retry-After re-enqueue (ST8)
+        T.StructField("attempts", T.IntegerType(), False),  # retry rounds (ST5)
     ]
 )
 

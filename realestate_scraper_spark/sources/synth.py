@@ -369,7 +369,7 @@ def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
 
 # -------------------------------------------------------------- site graph
 def make_site_graph(
-    offers: list[SynthOffer], n_pages: int
+    offers: list[SynthOffer], n_pages: int, flaky_mod: int | None = None
 ) -> list[dict]:
     """listing + offer pages; child_urls in DOM order = reference crawl order."""
     rows: list[dict] = []
@@ -420,9 +420,33 @@ def make_site_graph(
                     "html": render_offer_html(o),
                     "crawl_delay_ms": CRAWL_DELAY_MS[source],
                     "robots_allow": o.ordinal % 23 != 21,  # a few robots-blocked
+                    # transient-failure pages for the ST5/ST8 retry tests
+                    "flaky": flaky_mod is not None and o.ordinal % flaky_mod == 13,
                 }
             )
     return rows
+
+
+def make_robots_txt(offers: list[SynthOffer]) -> dict[str, str]:
+    """Per-domain robots.txt whose Disallow lines exactly reproduce the
+    per-URL robots_allow flags in the site graph (ordinal % 23 == 21), plus
+    the domain's Crawl-delay — so the rules-table politeness path and the
+    page-store flag path must agree."""
+    from urllib.parse import urlsplit
+
+    by_domain: dict[str, list[str]] = {DOMAINS[s]: [] for s in SOURCES}
+    for o in offers:
+        if o.ordinal % 23 == 21:
+            parts = urlsplit(o.url)
+            by_domain[parts.netloc].append(parts.path)
+    texts = {}
+    for source in SOURCES:
+        domain = DOMAINS[source]
+        lines = ["User-agent: *"]
+        lines += [f"Disallow: {p}" for p in sorted(by_domain[domain])]
+        lines.append(f"Crawl-delay: {CRAWL_DELAY_MS[source] / 1000.0}")
+        texts[domain] = "\n".join(lines) + "\n"
+    return texts
 
 
 # ------------------------------------------------------------- Spark entry

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""One scaling-bench run at a fixed parallelism level (fresh JVM per level).
+
+The job (identical input at every level — the sandbox evidencing of the
+north_rule's N vs 4N executor criterion):
+  1. full crawl of the deterministic 4-portal synthetic web
+     (fetch → parse → dedup → refine → sinks),
+  2. the distributed image pipeline: synthesize → encode → decode → sha256 →
+     pHash over N images inside Arrow batches (the heavy per-row stage of the
+     input_hint payload).
+
+Prints one JSON line: {"cpus", "crawl_sec", "crawl_pages", "pages_per_sec",
+"image_sec", "n_images", "images_per_sec"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--images", type=int, default=100000)
+    ap.add_argument("--pages", type=int, default=4)
+    ap.add_argument("--cards", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from realestate_scraper_spark.crawl.engine import CrawlEngine
+    from realestate_scraper_spark.functions.images import (
+        SYNTH_DECODE_FIELDS,
+        synth_decode_batches,
+    )
+    from realestate_scraper_spark.session import get_spark
+    from realestate_scraper_spark.sources.synth import (
+        make_offers,
+        make_site_graph,
+        seed_urls,
+    )
+
+    # shuffle partitions are a property of the JOB (data volume), not the
+    # cluster size — identical at both levels, AQE coalesces at runtime
+    spark = get_spark(
+        app_name=f"scaling-{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=16,
+    )
+    spark.range(1000).count()  # JVM warmup
+
+    # ---- crawl
+    offers = make_offers(seed=42, n_pages=args.pages, cards_per_page=args.cards)
+    graph = make_site_graph(offers, n_pages=args.pages)
+    t0 = time.monotonic()
+    eng = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix=f"scale{args.cpus}_"), graph, n_salts=4
+    )
+    eng.seed(seed_urls())
+    stats = eng.run(max_rounds=args.pages + 3)
+    crawl_sec = time.monotonic() - t0
+
+    # ---- distributed image pipeline (spec → synth → codec roundtrip → hash)
+    # warm the Arrow/pandas python workers so cold-start import time is not
+    # measured (a steady-state cluster has warm executors)
+    warm = spark.range(args.cpus * 4).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("image_id"),
+        F.col("id").alias("seed"), F.lit(0).alias("k"),
+        F.lit(32).alias("w"), F.lit(32).alias("h"), F.lit("png").alias("fmt"),
+    ).repartition(args.cpus)
+    warm.mapInPandas(synth_decode_batches, schema=SYNTH_DECODE_FIELDS).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    specs = spark.range(args.images).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        F.col("id").alias("seed"),
+        F.lit(0).alias("k"),
+        F.lit(128).alias("w"),
+        F.lit(96).alias("h"),
+        F.element_at(
+            F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+    ).repartition(args.cpus * 2)
+    # best of 3 trials: all-core turbo wobble on this box is ±10%, and the
+    # criterion concerns steady-state throughput, not a cold single shot
+    image_sec = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        (
+            specs.mapInPandas(synth_decode_batches, schema=SYNTH_DECODE_FIELDS)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        image_sec = min(image_sec, time.monotonic() - t0)
+
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "crawl_sec": round(crawl_sec, 2),
+                "crawl_pages": stats["pages_fetched"],
+                "pages_per_sec": round(stats["pages_fetched"] / crawl_sec, 2),
+                "offers_parsed": stats["offers_parsed"],
+                "image_sec": round(image_sec, 2),
+                "n_images": args.images,
+                "images_per_sec": round(args.images / image_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

