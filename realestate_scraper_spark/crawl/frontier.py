@@ -34,12 +34,18 @@ def priority_expr(page_idx, kind):
 def seed_frontier(
     spark: SparkSession, seeds: list[tuple[str, str]], n_salts: int = 8
 ) -> DataFrame:
-    """(source, url) seed list → frontier rows (page 1 listing URLs)."""
+    """(source, url) seed list → frontier rows.
+
+    Seeds are classified like discovered links: URLs with a pagination param
+    are listing pages (the `full`/`live` entry), everything else seeds as an
+    offer page directly — the reference's `detail` re-parse entry point
+    (scrapper/pipelines/detail.py:33-42 reads an arbitrary urls.csv)."""
     rows = []
-    for source, url in seeds:
+    for slot, (source, url) in enumerate(seeds):
         m = re.search(_PAGE_PARAM_RE, url)
+        kind = "listing" if m else "offer"
         page = int(m.group(1)) if m else 1
-        rows.append((url, source, "listing", page, 0, 0))
+        rows.append((url, source, kind, page, slot if kind == "offer" else 0, 0))
     df = spark.createDataFrame(
         rows, "url string, source string, kind string, page_idx int, slot int, sub_slot int"
     )
