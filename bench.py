@@ -79,6 +79,8 @@ def main() -> None:
     # work per round scales with cards — the cluster-scale shape)
     _, images, graph = build_corpus(seed=42, n_pages=4, cards_per_page=64)
     run_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    # crawl rounds move small frames; wide shuffles are pure overhead there
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     t0 = time.monotonic()
     eng = CrawlEngine(spark, run_dir, graph, n_salts=4)
     eng.seed(seed_urls())

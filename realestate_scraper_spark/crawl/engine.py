@@ -513,6 +513,55 @@ class CrawlEngine:
         ]
         return self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
 
+    # ------------------------------------------------------- image pipeline
+    def process_images(self, images_input: DataFrame) -> DataFrame:
+        """The input_hint image stage: photos discovered by the crawl are
+        joined to their binary payloads, decoded + verified in Arrow batches
+        (sniff, w/h, sha256, pHash — functions/images.py), captioned from the
+        owning offer, and written to the partitioned ``images`` table in the
+        EXACT input_hint shape (image_id, bytes, w, h, fmt, caption, phash).
+
+        ``images_input`` carries (image_id, bytes) at minimum — the stand-in
+        for the image-fetch stage (scrapper/core/images.py:48-91); rows whose
+        bytes fail to decode are dropped the way the reference marks
+        status=failed and skips the write (images.py:66-76).
+        """
+        from realestate_scraper_spark.functions.images import (
+            IMAGE_META_FIELDS,
+            decode_meta_batches,
+        )
+
+        photos = self.photos().filter(F.col("image_id").isNotNull())
+        # caption (FIXTURES.md §1 template) travels with images_input when
+        # present; otherwise falls back to the owning offer id.
+        linked = photos.join(
+            images_input.select("image_id", "bytes"), "image_id", "inner"
+        )
+        meta = (
+            linked.select("image_id", "bytes")
+            .mapInPandas(decode_meta_batches, schema=IMAGE_META_FIELDS)
+            .filter(F.col("decode_ok"))
+            .drop("decode_ok", "sha256")
+        )
+        caption_src = (
+            images_input.select("image_id", "caption")
+            if "caption" in images_input.columns
+            else photos.select(
+                "image_id", F.col("offer_id").alias("caption")
+            )
+        )
+        out = (
+            linked.select("image_id", "bytes")
+            .join(meta, "image_id")
+            .join(caption_src, "image_id", "left")
+            .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+        )
+        self.t_images = ParquetTable(self.run_dir, "images")
+        self.t_images.overwrite(
+            self._coalesced(out), round_idx=self.round_idx, stage="images"
+        )
+        return self.t_images.read(self.spark)
+
     # ------------------------------------------------------------- results
     def staged(self) -> DataFrame | None:
         st = self.t_staged.read(self.spark)

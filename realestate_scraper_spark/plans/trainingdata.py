@@ -190,8 +190,12 @@ def q31_minhash_signatures(spark, sf_dir):
 def q32_minhash_band_pairs(spark, sf_dir):
     """LSH banding: candidate pairs sharing band (sig0, sig1) — the
     bucket-equi-join that replaces the O(n²) comparison. The constructed
-    near-dup copies (one appended word) collide here with high probability."""
-    sigs = _minhash_sigs(spark, sf_dir)
+    near-dup copies (one appended word) collide here with high probability.
+
+    The signature frame is cached: the self-join consumes it twice, and the
+    shingle-explode pipeline behind it is the expensive part (at cluster
+    scale you would materialize signatures to a table instead)."""
+    sigs = _minhash_sigs(spark, sf_dir).cache()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return a.join(

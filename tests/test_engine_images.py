@@ -1,0 +1,42 @@
+"""The in-crawl image stage: crawl → photos ⨝ bytes → decode/verify →
+images table in the exact input_hint shape, pHash/caption equal to oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realestate_scraper_spark.crawl.engine import CrawlEngine
+from realestate_scraper_spark.schemas import IMAGES_SCHEMA
+from realestate_scraper_spark.sources.synth import build_corpus, seed_urls
+
+
+def test_process_images_end_to_end(spark, tmp_path):
+    offers, images, graph = build_corpus(seed=42, n_pages=2, cards_per_page=6)
+    eng = CrawlEngine(spark, str(tmp_path / "imgs"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=6)
+
+    images_input = spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+    out = eng.process_images(images_input)
+    assert [f.name for f in out.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+
+    got = {r["image_id"]: r for r in out.collect()}
+    robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
+    by_id = {row["image_id"]: row for row in images}
+    expected_ids = set()
+    for o in offers:
+        if o.offer_id in robots_blocked:
+            continue
+        expected_ids.update(o.photo_image_ids)
+    assert set(got) == expected_ids
+    for iid in expected_ids:
+        src, r = by_id[iid], got[iid]
+        # decode recomputation matches generation-time oracle (input_hint:
+        # pHash + caption/field equality)
+        assert r["phash"] == src["phash"], iid
+        assert r["w"] == src["w"] and r["h"] == src["h"], iid
+        assert r["fmt"] == src["fmt"], iid
+        assert r["caption"] == src["caption"], iid
+        assert bytes(r["bytes"]) == bytes(src["bytes"]), iid
