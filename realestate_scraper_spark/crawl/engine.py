@@ -290,7 +290,8 @@ class CrawlEngine:
         listing_batch = pending.filter(F.col("kind") == "listing").join(
             F.broadcast(next_pages), on=["source", "page_idx"], how="left_semi"
         )
-        offer_batch = pending.filter(F.col("kind") == "offer")
+        # offers AND investment pages drain every round (leaves + 2nd hop)
+        offer_batch = pending.filter(F.col("kind") != "listing")
         batch = listing_batch.unionByName(offer_batch)
 
         if self.robots_rules:
@@ -334,10 +335,10 @@ class CrawlEngine:
         self._sources.update(r["source"] for r in summary)
         self._track_fetched(summary)
 
-        # ---- listings → new frontier candidates
-        listings = fetched.filter(F.col("kind") == "listing")
+        # ---- listings + investment pages → new frontier candidates
+        listings = fetched.filter(F.col("kind").isin("listing", "investment"))
         links = listings.select(
-            "source", "page_idx", "url", "html"
+            "source", "page_idx", "url", "slot", "kind", "html"
         ).mapInPandas(parse_mod.extract_links_batches, schema=parse_mod.LINKS_FIELDS)
         candidates = frontier_mod.classify_and_key_links(links, self.n_salts)
         fresh = frontier_mod.anti_join_seen(candidates, fr, self.bloom)
@@ -351,7 +352,7 @@ class CrawlEngine:
 
         new_offer_counts: dict[str, int] = defaultdict(int)
         for r in new_rows_local:
-            if r["kind"] == "offer":
+            if r["kind"] != "listing":  # offers + investments count as yield
                 new_offer_counts[r["source"]] += 1
 
         # ---- offers → parse → refine → ONE staged append (raw zone);

@@ -19,6 +19,8 @@ from realestate_scraper_spark.schemas import FRONTIER_SCHEMA, STATUS_PENDING
 
 # listing-page URL page-number parameter per source (synth.listing_url shapes)
 _PAGE_PARAM_RE = r"[?&](?:page|strona)=(\d+)"
+# investment (multi-unit development) pages — second crawl hop (SO2)
+_INVESTMENT_RE = r"/pl/inwestycja/"
 
 
 def priority_expr(page_idx, kind):
@@ -66,16 +68,31 @@ def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
 
     page_from_url = F.regexp_extract(F.col("href"), _PAGE_PARAM_RE, 1)
     is_listing = page_from_url != ""
+    is_investment = F.col("href").rlike(_INVESTMENT_RE)
+    from_investment = F.col("parent_kind") == "investment"
     candidates = (
-        links.withColumn("kind", F.when(is_listing, "listing").otherwise("offer"))
+        links.withColumn(
+            "kind",
+            F.when(is_listing, "listing")
+            .when(is_investment, "investment")
+            .otherwise("offer"),
+        )
         .withColumn(
             "page_idx",
             F.when(is_listing, page_from_url.cast("int")).otherwise(
                 F.col("page_idx")
             ),
         )
-        .withColumn("slot", F.col("dom_idx"))
-        .withColumn("sub_slot", F.lit(0))
+        # depth-first order keys: investment children keep the investment's
+        # card slot and take their in-page position as sub_slot (W3)
+        .withColumn(
+            "slot",
+            F.when(from_investment, F.col("parent_slot")).otherwise(F.col("dom_idx")),
+        )
+        .withColumn(
+            "sub_slot",
+            F.when(from_investment, F.col("dom_idx")).otherwise(F.lit(0)),
+        )
         .withColumnRenamed("href", "url")
         .select("url", "source", "kind", "page_idx", "slot", "sub_slot")
     )

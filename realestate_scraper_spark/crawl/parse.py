@@ -23,7 +23,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 LINKS_FIELDS = (
-    "source string, page_idx int, parent_url string, dom_idx int, href string"
+    "source string, page_idx int, parent_url string, parent_slot int, "
+    "parent_kind string, dom_idx int, href string"
 )
 
 OFFER_FIELDS = (
@@ -51,11 +52,16 @@ _NUM_CLEAN = re.compile(r"[\s ]")
 
 
 def extract_links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Listing pages → child links in DOM order (UDTF-shaped 1→many)."""
+    """Listing/investment pages → child links in DOM order (1→many).
+
+    Parent slot + kind travel with each link so investment children inherit
+    the card position of their investment (depth-first crawl order,
+    otodom.py:539-604)."""
     for pdf in batches:
-        src, pidx, purl, didx, href = [], [], [], [], []
-        for s, p, u, html in zip(
-            pdf["source"], pdf["page_idx"], pdf["url"], pdf["html"]
+        src, pidx, purl, pslot, pkind, didx, href = [], [], [], [], [], [], []
+        for s, p, u, sl, kd, html in zip(
+            pdf["source"], pdf["page_idx"], pdf["url"], pdf["slot"],
+            pdf["kind"], pdf["html"]
         ):
             if html is None:
                 continue
@@ -63,6 +69,8 @@ def extract_links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 src.append(s)
                 pidx.append(p)
                 purl.append(u)
+                pslot.append(sl)
+                pkind.append(kd)
                 didx.append(i)
                 href.append(link)
         yield pd.DataFrame(
@@ -70,6 +78,8 @@ def extract_links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "source": pd.Series(src, dtype="object"),
                 "page_idx": pd.Series(pidx, dtype="int32"),
                 "parent_url": pd.Series(purl, dtype="object"),
+                "parent_slot": pd.Series(pslot, dtype="int32"),
+                "parent_kind": pd.Series(pkind, dtype="object"),
                 "dom_idx": pd.Series(didx, dtype="int32"),
                 "href": pd.Series(href, dtype="object"),
             }

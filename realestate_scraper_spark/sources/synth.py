@@ -93,6 +93,7 @@ class SynthOffer:
     ppm2_disagrees: bool
     photo_image_ids: list[str] = field(default_factory=list)
     photo_urls: list[str] = field(default_factory=list)
+    investment_lead: int | None = None  # lead ordinal of the investment group
 
     # -- expected engine output (golden), applying reference reconciliation --
     def golden_row(self) -> dict | None:
@@ -158,6 +159,12 @@ def _offer_id(source: str, ordinal: int) -> str:
     return f"ogl{100000 + ordinal}"
 
 
+def investment_url(ordinal: int) -> str:
+    """Otodom investment (multi-unit development) page — expanded depth-first
+    at its card position (SO2, otodom.py:539-604). Only otodom has these."""
+    return f"https://{DOMAINS['otodom']}/pl/inwestycja/osiedle-{ordinal}-IN{ordinal:05d}"
+
+
 def listing_url(source: str, page: int) -> str:
     d = DOMAINS[source]
     if source == "otodom":
@@ -181,6 +188,7 @@ def make_offers(
             for _card in range(cards_per_page):
                 is_investment = source == "otodom" and ordinal % 10 == 4
                 n_subs = 3 if is_investment else 1
+                lead_ordinal = ordinal
                 for sub in range(n_subs):
                     city, clat, clon = CITIES[int(rng.integers(len(CITIES)))]
                     kind = KINDS[ordinal % len(KINDS)]
@@ -219,6 +227,7 @@ def make_offers(
                         missing_geo=ordinal % 13 == 5,
                         out_of_bbox=out_bbox,
                         ppm2_disagrees=disagrees,
+                        investment_lead=lead_ordinal if is_investment else None,
                     )
                     n_photos = ordinal % 5
                     for k in range(n_photos):
@@ -383,8 +392,15 @@ def make_site_graph(
                 by_key.get((source, page), []), key=lambda o: (o.slot, o.sub_slot)
             )
             child: list[str] = []
+            seen_inv: set[int] = set()
             for o in page_offers:
-                child.append(o.url)
+                if o.investment_lead is not None:
+                    # one card per investment group → the investment page
+                    if o.investment_lead not in seen_inv:
+                        seen_inv.add(o.investment_lead)
+                        child.append(investment_url(o.investment_lead))
+                else:
+                    child.append(o.url)
             # ord%7==2 offers get re-listed on the NEXT page with shuffled
             # query params — must canonicalize+dedupe, never refetch (O1).
             if page > 1:
@@ -409,6 +425,27 @@ def make_site_graph(
                     "robots_allow": True,
                 }
             )
+        # investment pages (second hop): children in (sub_slot) order
+        if source == "otodom":
+            groups: dict[int, list[SynthOffer]] = {}
+            for o in offers:
+                if o.source == "otodom" and o.investment_lead is not None:
+                    groups.setdefault(o.investment_lead, []).append(o)
+            for lead, subs in sorted(groups.items()):
+                subs = sorted(subs, key=lambda o: o.sub_slot)
+                child_urls = [o.url for o in subs]
+                rows.append(
+                    {
+                        "url": investment_url(lead),
+                        "kind": "investment",
+                        "source": "otodom",
+                        "page_idx": subs[0].page_idx,
+                        "child_urls": child_urls,
+                        "html": render_listing_html("otodom", subs[0].page_idx, child_urls),
+                        "crawl_delay_ms": CRAWL_DELAY_MS["otodom"],
+                        "robots_allow": True,
+                    }
+                )
         for o in [o for o in offers if o.source == source]:
             rows.append(
                 {

@@ -27,6 +27,7 @@ from scrapper.core.dedup import DedupeSet, normalize_url  # noqa: E402
 
 _HREF_RE = re.compile(r'<a href="([^"]+)"')
 _PAGE_PARAM_RE = re.compile(r"[?&](?:page|strona)=(\d+)")
+_INVESTMENT_RE = re.compile(r"/pl/inwestycja/")
 
 
 def simulate_reference_crawl(
@@ -64,6 +65,30 @@ def simulate_reference_crawl(
                 if _PAGE_PARAM_RE.search(href):
                     next_listing = href
                     continue
+                if _INVESTMENT_RE.search(href):
+                    # depth-first investment expansion at the card position
+                    # (otodom.py:539-604): fetch the investment page NOW and
+                    # yield its children in order
+                    if dedupe.seen_url(href):
+                        continue
+                    inv = pages.get(normalize_url(href))
+                    if inv is None:
+                        continue
+                    for sub_slot, child in enumerate(_HREF_RE.findall(inv["html"])):
+                        if dedupe.seen_url(child):
+                            continue
+                        yields.append(
+                            {
+                                "source": source,
+                                "url": child,
+                                "url_canon": normalize_url(child),
+                                "page_idx": page_idx,
+                                "slot": slot,
+                                "sub_slot": sub_slot,
+                            }
+                        )
+                        new_count += 1
+                    continue
                 if dedupe.seen_url(href):
                     continue
                 yields.append(
@@ -73,6 +98,7 @@ def simulate_reference_crawl(
                         "url_canon": normalize_url(href),
                         "page_idx": page_idx,
                         "slot": slot,
+                        "sub_slot": 0,
                     }
                 )
                 new_count += 1

@@ -53,7 +53,7 @@ def test_crawl_order_equals_reference(engine_run, corpus):
     fr = (
         eng.frontier()
         .filter(F.col("kind") == "offer")
-        .select("source", "url_canon", "page_idx", "slot")
+        .select("source", "url_canon", "page_idx", "slot", "sub_slot")
         .collect()
     )
     for src in {y["source"] for y in yields}:
@@ -62,7 +62,7 @@ def test_crawl_order_equals_reference(engine_run, corpus):
             r["url_canon"]
             for r in sorted(
                 (r for r in fr if r["source"] == src),
-                key=lambda r: (r["page_idx"], r["slot"]),
+                key=lambda r: (r["page_idx"], r["slot"], r["sub_slot"]),
             )
         ]
         assert eng_order == ref_order, f"crawl order mismatch for {src}"
