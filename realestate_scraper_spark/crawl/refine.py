@@ -52,6 +52,22 @@ def in_pl_bbox(lat: Column, lon: Column) -> Column:
     )
 
 
+def city_from_slug(url: Column) -> Column:
+    """F8: recover the city from URL slug tokens (morizon.py:245-286).
+
+    Synth slug shape mirrors the portals: `{kind}-{city}-{ordinal}`; the city
+    token sits between the kind token and the trailing ordinal/id. Pure
+    expressions: take the slug segment, split on '-', pick token 2, title-case.
+    """
+    # last path segment without extension/id suffixes
+    seg = F.regexp_extract(url, r"/([a-z0-9-]+?)(?:-ID\w+|-mzn\d+|-ogl\d+\.html|/ob/\d+)?/?$", 1)
+    tokens = F.split(seg, "-")
+    city = F.element_at(tokens, 2)
+    return F.when(
+        (F.size(tokens) >= 3) & (city != ""), F.initcap(city)
+    )
+
+
 def refined(parsed: DataFrame) -> DataFrame:
     """parsed raw fields → canonical columns + is_valid + reject_reason.
 
@@ -80,7 +96,11 @@ def refined(parsed: DataFrame) -> DataFrame:
         .withColumn("area_m2", area)
         .withColumn("price_amount", price)
         .withColumn("price_currency", F.col("raw_currency"))
-        .withColumn("city", F.col("raw_city"))
+        # city waterfall (L6-style coalesce cascade): page value first, URL
+        # slug token fallback second (F8)
+        .withColumn(
+            "city", F.coalesce(F.col("raw_city"), city_from_slug(F.col("url")))
+        )
         .withColumn("rooms", F.col("raw_rooms").cast("int"))
         .withColumn("offer_id", offer_id_expr(F.col("url"), F.col("source")))
         .withColumn(

@@ -339,6 +339,8 @@ def render_offer_html(o: SynthOffer) -> str:
             f"{json.dumps(nd)}</script>"
         )
     else:  # css fallback — regex-extractable markup with srcset photos
+        # ord%31==17 pages omit the address block: city is recoverable only
+        # from the URL slug (F8, morizon.py:245-286 token fallback)
         photo_tags = "".join(
             f'<img srcset="{u}?w=400 400w, {u}?w=800 800w, {u}?w=1200 1200w">'
             for u in imgs
@@ -350,12 +352,15 @@ def render_offer_html(o: SynthOffer) -> str:
             else f'<span class="ppm2">{o.displayed_ppm2:.2f} zł/m²</span>'
         )
         area_txt = f"{o.area_m2:.1f}".replace(".", ",")
+        address = (
+            "" if o.ordinal % 31 == 17 else f'<div class="address">{o.city}</div>'
+        )
         body = (
             f'<strong class="price">{price_txt}</strong>'
             f'{ppm2_txt}'
             f'<span class="area">{area_txt} m²</span>'
             f'<span class="rooms">{o.rooms} pokoje</span>'
-            f'<div class="address">{o.city}</div>'
+            f'{address}'
             f"{geo_meta}{photo_tags}"
         )
     return f"<html><head><title>{o.offer_id}</title></head><body>{body}</body></html>"

@@ -174,3 +174,21 @@ def test_kill_and_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, e
     fa = {r["url_canon"] for r in base.frontier().collect()}
     fb = {r["url_canon"] for r in eng2.frontier().collect()}
     assert fa == fb
+
+
+def test_city_slug_fallback_exercised(engine_run, corpus):
+    """F8: css pages with ord%31==17 omit the address block; the engine must
+    recover the city from the URL slug (guard that the case is non-vacuous
+    and the fallback produces the exact city)."""
+    offers, _, _ = corpus
+    eng, _ = engine_run
+    affected = [
+        o
+        for o in offers
+        if o.ordinal % 31 == 17 and o.variant == "css"
+        and o.golden_row() is not None and o.ordinal % 23 != 21
+    ]
+    assert affected, "adversarial case vacuous — widen the corpus"
+    got = {r["offer_id"]: r["city"] for r in eng.offers().collect()}
+    for o in affected:
+        assert got.get(o.offer_id) == o.city, (o.offer_id, got.get(o.offer_id))
