@@ -1,0 +1,82 @@
+"""applyInPandasWithState sessionizer: streaming state across micro-batches
+equals the batch gaps-and-islands computation (q26 semantics)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realestate_scraper_spark.streaming.live import run_available_now
+from realestate_scraper_spark.streaming.stateful import sessionize_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _landing_in_time_order(spark, path: str, n_files: int = 4):
+    """Split events into time-range files whose mtimes follow event time, so
+    micro-batches (maxFilesPerTrigger=1, ordered by mod time) arrive in
+    event-time order — the stateful operator's input contract."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts")
+        .orderBy("ts")
+    )
+    rows = ev.collect()
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(rows) + n_files - 1) // n_files
+    base = time.time() - 1000
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        fdir = os.path.join(path, f"f{i:02d}")
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(fdir)
+        for root, _d, files in os.walk(fdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+    return [os.path.join(path, f"f{i:02d}") for i in range(n_files)], ev
+
+
+def test_stateful_sessionizer_equals_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    dirs, ev_batch = _landing_in_time_order(spark, landing)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    out: list = []
+    run_available_now(sessionize_stream(stream), str(tmp_path / "ckpt"), out)
+
+    got: dict = {}
+    for r in sorted(out, key=lambda r: r[0]):  # later batches overwrite
+        got[r[1]] = r[2]
+
+    # batch twin (q26 semantics)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev_batch.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n"))
+        .collect()
+    }
+    assert len(want) > 10
+    assert got == want
