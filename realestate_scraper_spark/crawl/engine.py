@@ -262,6 +262,40 @@ class CrawlEngine:
         self._no_new_streak.clear()
         return n
 
+    def refresh_offers(self) -> int:
+        """Re-enqueue DONE offer pages for a refresh pass (the reference's
+        repeated `detail` runs over an existing urls.csv re-parse every URL;
+        first_seen/last_seen split on the merge, detail.py:83,89-90).
+        attempts bumps so flaky pages don't re-fail."""
+        fr = self.t_frontier.read(self.spark)
+        if fr is None:
+            return 0
+        target = (F.col("status") == STATUS_DONE) & (F.col("kind") == "offer")
+        reset = fr.withColumn(
+            "status", F.when(target, STATUS_PENDING).otherwise(F.col("status"))
+        ).withColumn(
+            "attempts",
+            F.when(target, F.col("attempts") + 1).otherwise(F.col("attempts")),
+        )
+        rows = reset.select(*[f.name for f in FRONTIER_SCHEMA.fields]).collect()
+        self.t_frontier.overwrite(
+            self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
+            round_idx=self.round_idx,
+            stage="refresh_reset",
+        )
+        n = 0
+        for r in rows:
+            if r["status"] == STATUS_PENDING and r["kind"] == "offer":
+                n += 1
+                self._pending_offers[r["source"]] = (
+                    self._pending_offers.get(r["source"], 0) + 1
+                )
+        self._stopped = {
+            k: v for k, v in self._stopped.items() if v == "offer_limit"
+        }
+        self._no_new_streak.clear()
+        return n
+
     def _coalesced(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.append_coalesce) if self.append_coalesce else df
 
@@ -363,7 +397,9 @@ class CrawlEngine:
         parsed = offers_fetched.select(
             "url", "url_canon", "source", "page_idx", "slot", "sub_slot", "html"
         ).mapInPandas(parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS)
-        staged = refine_mod.refined(parsed)
+        staged = refine_mod.refined(parsed).withColumn(
+            "round", F.lit(self.round_idx)
+        )
         self.t_staged.append(
             self._coalesced(staged),
             round_idx=self.round_idx,
@@ -572,12 +608,35 @@ class CrawlEngine:
         return st.withColumn("is_valid", F.col("is_valid").cast("boolean"))
 
     def offers(self) -> DataFrame | None:
+        """Curated offers view: latest parse wins per offer_id (idempotent
+        MERGE semantics, ST6 — re-crawls update rather than duplicate),
+        first_seen/last_seen carried as crawl rounds (F14 stamping, made
+        deterministic by using logical time)."""
+        from pyspark.sql import Window
+
         from realestate_scraper_spark.schemas import OFFER_COLUMNS
 
         st = self.staged()
         if st is None:
             return None
-        return st.filter(F.col("is_valid")).select(*OFFER_COLUMNS)
+        valid = st.filter(F.col("is_valid"))
+        w = Window.partitionBy("offer_id_k").orderBy(F.desc("round"))
+        keyed = valid.withColumn(
+            "offer_id_k", F.coalesce(F.col("offer_id"), F.col("url_canon"))
+        )
+        seen = keyed.groupBy("offer_id_k").agg(
+            F.min("round").alias("first_seen_round"),
+            F.max("round").alias("last_seen_round"),
+        )
+        latest = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return (
+            latest.join(seen, "offer_id_k")
+            .select(*OFFER_COLUMNS, "first_seen_round", "last_seen_round")
+        )
 
     def photos(self) -> DataFrame | None:
         st = self.staged()
