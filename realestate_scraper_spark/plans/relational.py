@@ -879,3 +879,49 @@ def q28_spatial_offer_dups(spark, sf_dir):
     )
     offers = base.unionByName(dups)
     return spatial_duplicate_pairs(offers).select("offer_a", "offer_b")
+
+
+# --------------------------------------------------------------------- q29
+@_reg(
+    "q29_priority_coalesce",
+    """
+    SELECT p_partkey,
+           COALESCE(
+             CASE WHEN p_partkey % 4 = 0 THEN 'street+district+city' END,
+             CASE WHEN p_partkey % 3 = 0 THEN 'street+city' END,
+             CASE WHEN p_partkey % 2 = 0 THEN 'district+city' END,
+             'city') AS geocode_query
+    FROM part
+    """,
+)
+def q29_priority_coalesce(spark, sf_dir):
+    """L6: the geocode query preference cascade (gratka.py:339-368) — an
+    ordered COALESCE over progressively weaker keys."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.coalesce(
+            F.when(F.col("p_partkey") % 4 == 0, F.lit("street+district+city")),
+            F.when(F.col("p_partkey") % 3 == 0, F.lit("street+city")),
+            F.when(F.col("p_partkey") % 2 == 0, F.lit("district+city")),
+            F.lit("city"),
+        ).alias("geocode_query"),
+    )
+
+
+# --------------------------------------------------------------------- q42
+@_reg(
+    "q42_order_preserving_dedup",
+    """
+    SELECT user_id, event_type,
+           ARG_MIN(event_id, ts) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q42_order_preserving_dedup(spark, sf_dir):
+    """SO5: per-listing order-preserving dedup — keep the FIRST occurrence
+    (min crawl position) per key (otodom.py:421-429)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min_by("event_id", "ts").alias("first_event_id"))
+    )
