@@ -137,6 +137,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- seeding
     def seed(self, seeds: list[tuple[str, str]]) -> None:
+        if self.robots_rules is None:
+            self._bootstrap_robots(seeds)
         df = frontier_mod.seed_frontier(self.spark, seeds, self.n_salts)
         frontier_mod.assert_frontier_schema(df)
         rows = df.collect()
@@ -149,6 +151,26 @@ class CrawlEngine:
         self._bloom_add_rows(rows)
         self._track_new_rows(rows)
         self._write_checkpoint()
+
+    def _bootstrap_robots(self, seeds: list[tuple[str, str]]) -> None:
+        """Fetch + parse each seed domain's /robots.txt from the page store
+        before the first crawl round (the standard pre-crawl handshake; the
+        reference never does this — robots handling is a north_rule add)."""
+        from urllib.parse import urlsplit
+
+        from realestate_scraper_spark.crawl.politeness import parse_robots_txt
+
+        store = self.page_store_bc.value
+        rules = {}
+        for _source, url in seeds:
+            domain = urlsplit(url).netloc
+            if domain in rules:
+                continue
+            rec = store.get(f"https://{domain}/robots.txt")
+            if rec is not None:
+                rules[domain] = parse_robots_txt(domain, rec[0])
+        if rules:
+            self.robots_rules = rules
 
     # -------------------------------------------------------------- resume
     @classmethod

@@ -44,6 +44,7 @@ _NEXTDATA_RE = re.compile(
 _PRICE_RE = re.compile(r'<strong class="price">([^<]*)</strong>')
 _PPM2_RE = re.compile(r'<span class="ppm2">([\d\s .,]+)\s*zł/m²</span>')
 _AREA_RE = re.compile(r'<span class="area">([\d,\.]+)\s*m²</span>')
+_AREA_TEXT_RE = re.compile(r"(\d+(?:[.,]\d+)?)\s*m²")
 _ROOMS_RE = re.compile(r'<span class="rooms">(\d+)\s*pokoje</span>')
 _CITY_RE = re.compile(r'<div class="address">([^<]*)</div>')
 _GEO_RE = re.compile(r'<meta name="geo" content="([-\d.]+);([-\d.]+)">')
@@ -171,6 +172,16 @@ def _from_css(html: str, out: dict) -> None:
     m = _AREA_RE.search(html)
     if m:
         _fill(out, "area", float(m.group(1).replace(",", ".")))
+    else:
+        # W5 fallback (morizon.py:299-309): no structured area — take the
+        # largest PLAUSIBLE (10..1000 m²) candidate from free text
+        cands = [
+            float(x.replace(",", "."))
+            for x in _AREA_TEXT_RE.findall(html)
+        ]
+        plausible = [v for v in cands if 10.0 <= v <= 1000.0]
+        if plausible:
+            _fill(out, "area", max(plausible))
     m = _ROOMS_RE.search(html)
     if m:
         _fill(out, "rooms", int(m.group(1)))

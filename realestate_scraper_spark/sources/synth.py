@@ -352,13 +352,24 @@ def render_offer_html(o: SynthOffer) -> str:
             else f'<span class="ppm2">{o.displayed_ppm2:.2f} zł/m²</span>'
         )
         area_txt = f"{o.area_m2:.1f}".replace(".", ",")
+        if o.ordinal % 37 == 23:
+            # W5 (morizon.py:299-309): area appears only in free text among
+            # other m² figures; the parser must pick the largest PLAUSIBLE
+            # candidate (10..1000 m²) — the 1200 m² lot is out of window,
+            # the 8 m² cellar is smaller.
+            area_span = (
+                f"<p>piwnica 8 m², mieszkanie {area_txt} m², "
+                f"działka 1200 m²</p>"
+            )
+        else:
+            area_span = f'<span class="area">{area_txt} m²</span>'
         address = (
             "" if o.ordinal % 31 == 17 else f'<div class="address">{o.city}</div>'
         )
         body = (
             f'<strong class="price">{price_txt}</strong>'
             f'{ppm2_txt}'
-            f'<span class="area">{area_txt} m²</span>'
+            f'{area_span}'
             f'<span class="rooms">{o.rooms} pokoje</span>'
             f'{address}'
             f"{geo_meta}{photo_tags}"
@@ -385,8 +396,25 @@ def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
 def make_site_graph(
     offers: list[SynthOffer], n_pages: int, flaky_mod: int | None = None
 ) -> list[dict]:
-    """listing + offer pages; child_urls in DOM order = reference crawl order."""
+    """listing + offer pages; child_urls in DOM order = reference crawl order.
+    Each domain also serves /robots.txt (engine bootstraps its rules table
+    from these pages — crawl/engine.py seed())."""
     rows: list[dict] = []
+    robots_texts = make_robots_txt(offers)
+    for source in SOURCES:
+        domain = DOMAINS[source]
+        rows.append(
+            {
+                "url": f"https://{domain}/robots.txt",
+                "kind": "robots",
+                "source": source,
+                "page_idx": 0,
+                "child_urls": [],
+                "html": robots_texts[domain],
+                "crawl_delay_ms": CRAWL_DELAY_MS[source],
+                "robots_allow": True,
+            }
+        )
     by_key: dict[tuple[str, int], list[SynthOffer]] = {}
     for o in offers:
         by_key.setdefault((o.source, o.page_idx), []).append(o)

@@ -150,3 +150,43 @@ def test_retry_rounds_recover_transient_failures(spark, tmp_path):
     for o in offers:
         if o.ordinal % 29 == 13 and o.golden_row() is not None and o.ordinal % 23 != 21:
             assert o.offer_id in got_ids, o.offer_id
+
+
+def test_engine_bootstraps_robots_from_site(spark, tmp_path):
+    """seed() fetches each domain's /robots.txt from the web itself and
+    compiles the rules table — no externally provided rules."""
+    offers, _, graph = build_corpus(seed=42, n_pages=2, cards_per_page=6)
+    eng = CrawlEngine(spark, str(tmp_path / "boot"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    assert eng.robots_rules and set(eng.robots_rules) == {
+        "www.otodom.pl", "www.morizon.pl", "gratka.pl",
+        "ogloszenia.trojmiasto.pl",
+    }
+    eng.run(max_rounds=6)
+    # robots-blocked offers never parsed, everything else intact
+    got = {r["offer_id"] for r in eng.offers().collect()}
+    for o in offers:
+        if o.ordinal % 23 == 21:
+            assert o.offer_id not in got
+
+
+def test_real_sleep_enforces_budget(spark, tmp_path):
+    """With real_sleep the wall clock respects the per-domain budget."""
+    import time
+
+    from realestate_scraper_spark.crawl import fetch as fetch_mod
+    from realestate_scraper_spark.crawl import frontier as frontier_mod
+
+    offers, _, graph = build_corpus(seed=42, n_pages=1, cards_per_page=5)
+    chosen = [o for o in offers if o.source == "trojmiasto"][:4]  # 100ms budget
+    store = spark.sparkContext.broadcast(fetch_mod.build_page_store(graph))
+    fr = frontier_mod.seed_frontier(
+        spark, [(o.source, o.url) for o in chosen], n_salts=1
+    )
+    t0 = time.monotonic()
+    rows = fetch_mod.fetch(fr, store, n_salts=1, real_sleep=True).collect()
+    elapsed = time.monotonic() - t0
+    ok = [r for r in rows if r["fetch_status"] == "OK"]
+    assert len(ok) >= 3
+    # (n-1) gaps × 100 ms minimum
+    assert elapsed >= (len(ok) - 1) * 0.1
