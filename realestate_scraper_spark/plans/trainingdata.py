@@ -601,3 +601,153 @@ def q41_embedding_near_dup(spark, sf_dir):
         .filter(F.col("sim") > 0.9999)
         .select("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------- q43
+_NGRAM_SETS = {
+    "en": ["th", "he", "in", "er", "an"],
+    "de": ["ch", "ei", "ie", "sch", "un"],
+    "fr": ["le", "ou", "es", "de", "on"],
+}
+
+
+def _ngram_hits_sql(lang: str) -> str:
+    pat = "|".join(_NGRAM_SETS[lang])
+    return f"len(regexp_extract_all(lower(text), '({pat})'))"
+
+
+@_reg(
+    "q43_langid_ngram",
+    f"""
+    SELECT doc_id,
+           {_ngram_hits_sql("en")} AS en_hits,
+           {_ngram_hits_sql("de")} AS de_hits,
+           {_ngram_hits_sql("fr")} AS fr_hits,
+           CASE
+             WHEN {_ngram_hits_sql("en")} >= {_ngram_hits_sql("de")}
+              AND {_ngram_hits_sql("en")} >= {_ngram_hits_sql("fr")} THEN 'en'
+             WHEN {_ngram_hits_sql("de")} >= {_ngram_hits_sql("fr")} THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def q43_langid_ngram(spark, sf_dir):
+    """Language-ID, n-gram variant: character-bigram profile hit counts per
+    language with deterministic argmax tie-breaking (en > de > fr)."""
+    d = t(spark, sf_dir, "documents")
+    hits = {}
+    for lang, grams in _NGRAM_SETS.items():
+        pat = "(" + "|".join(grams) + ")"
+        hits[lang] = F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)
+        )
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+# --------------------------------------------------------------------- q44
+_IVF_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    cand AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 16),
+    qry  AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id >= 8 AND vec_id < 13),
+    assign AS (
+      SELECT cand_id, cid AS cell FROM (
+        SELECT c.cand_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id ORDER BY
+                 list_dot_product(c.v, ct.cv) /
+                 (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+                 DESC, ct.cid) AS rk
+        FROM cand c CROSS JOIN cent ct) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.query_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, ct.cv) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+                 DESC, ct.cid) AS rk
+        FROM qry q CROSS JOIN cent ct) WHERE rk <= 2),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS sim
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN qry q ON q.query_id = p.query_id
+      JOIN cand c ON c.cand_id = a.cand_id)
+    SELECT query_id, cand_id, rk FROM (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+      FROM scored) WHERE rk <= 3
+"""
+
+
+@_reg("q44_ann_ivf", _IVF_SQL)
+def q44_ann_ivf(spark, sf_dir):
+    """Similarity search, IVF variant: coarse quantization to deterministic
+    centroid cells (first 8 vectors), candidates assigned to their nearest
+    cell, queries probe their top-2 cells — the inverted-file pattern that
+    turns ANN into (small broadcast) + (bucket equi-join), no cross join
+    over the full corpus. Rerank within probed cells is exact cosine."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cand = e.filter(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("cand_id"), "v"
+    )
+    qry = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                          lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+
+    w_assign = Window.partitionBy("cand_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    assign = (
+        cand.crossJoin(F.broadcast(cent))
+        .withColumn("csim", cos(F.col("v"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("cand_id", F.col("cid").alias("cell"), "v")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qry.crossJoin(F.broadcast(cent))
+        .withColumn("csim", cos(F.col("qv"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= 2)
+        .select("query_id", F.col("cid").alias("cell"), "qv")
+    )
+    scored = probes.join(assign, "cell").withColumn(
+        "sim", cos(F.col("qv"), F.col("v"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk")
+    )
