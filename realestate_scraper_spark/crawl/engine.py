@@ -133,6 +133,7 @@ class CrawlEngine:
         self._pending_listing_pages: dict[str, set[int]] = {}
         self._pending_offers: dict[str, int] = {}
         self._last_page_done: dict[str, int] = {}
+        self._had_fetch_fail: dict[str, bool] = {}  # listing-page failures
         self._metrics_buf: list[tuple] = []
 
     # ------------------------------------------------------------- seeding
@@ -282,6 +283,7 @@ class CrawlEngine:
             k: v for k, v in self._stopped.items() if v in ("no_new", "offer_limit")
         }
         self._no_new_streak.clear()
+        self._had_fetch_fail.clear()
         return n
 
     def refresh_offers(self) -> int:
@@ -492,6 +494,8 @@ class CrawlEngine:
         for src in sorted(self._sources) or [
             r["source"] for r in fr.select("source").distinct().collect()
         ]:
+            if self._had_fetch_fail.get(src):
+                continue  # retryable — stays not-done with fetch_fail (ST5)
             self._stopped.setdefault(src, "no_links")
         self._write_checkpoint()
         self._flush_metrics()
@@ -523,6 +527,11 @@ class CrawlEngine:
                     self._last_page_done[src] = max(
                         self._last_page_done.get(src, 0), r["page_idx"]
                     )
+                else:
+                    # a listing page failed → the region ends as fetch_fail,
+                    # NOT done/no_links (the reference retries exactly these
+                    # regions next round, cli.py:799-806)
+                    self._had_fetch_fail[src] = True
             else:
                 self._pending_offers[src] = max(
                     0, self._pending_offers.get(src, 0) - r["n"]
@@ -540,7 +549,23 @@ class CrawlEngine:
         state = {}
         for src in sorted(self._sources):
             reason = self._stopped.get(src)
-            done = reason is not None or self._n_pending(src) == 0
+            drained = self._n_pending(src) == 0
+            if reason is None and drained and self._had_fetch_fail.get(src):
+                # drained only because pages failed → retryable, not done
+                # (ST5: fetch_fail regions stay not-done and re-enter)
+                state[src] = {
+                    "region": src,
+                    "done": False,
+                    "last_page_done": int(self._last_page_done.get(src, 0)),
+                    "stop_reason": "fetch_fail",
+                    "processed_offers_last_run": int(self._offers_total),
+                    "round": self.round_idx,
+                    "bloom_snapshot": self.bloom_path
+                    if os.path.exists(self.bloom_path)
+                    else None,
+                }
+                continue
+            done = reason is not None or drained
             state[src] = {
                 "region": src,
                 "done": done,

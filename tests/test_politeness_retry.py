@@ -190,3 +190,32 @@ def test_real_sleep_enforces_budget(spark, tmp_path):
     assert len(ok) >= 3
     # (n-1) gaps × 100 ms minimum
     assert elapsed >= (len(ok) - 1) * 0.1
+
+
+def test_fetch_fail_region_not_marked_done(spark, tmp_path):
+    """ST2/ST5 parity: a source whose listing page failed transiently ends
+    the run with stop_reason=fetch_fail and done=False; after retry_failed()
+    + rerun it completes as done/no_links."""
+    offers = make_offers(seed=42, n_pages=2, cards_per_page=5)
+    graph = make_site_graph(offers, n_pages=2)
+    # break morizon's page-2 listing: make it flaky
+    from realestate_scraper_spark.sources.synth import listing_url
+
+    broken = listing_url("morizon", 2)
+    for row in graph:
+        if row["url"] == broken:
+            row["flaky"] = True
+
+    eng = CrawlEngine(spark, str(tmp_path / "ff"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=8)
+    cp = {r["source"]: r.asDict() for r in eng.checkpoint_df().collect()}
+    assert cp["morizon"]["stop_reason"] == "fetch_fail"
+    assert not cp["morizon"]["done"]
+    assert cp["otodom"]["done"] and cp["otodom"]["stop_reason"] == "no_links"
+
+    eng.retry_failed()
+    eng.run(max_rounds=8)
+    cp = {r["source"]: r.asDict() for r in eng.checkpoint_df().collect()}
+    assert cp["morizon"]["done"]
+    assert cp["morizon"]["last_page_done"] == 2
