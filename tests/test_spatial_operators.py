@@ -97,3 +97,47 @@ def test_geocode_fill(spark):
     assert got["o1"]["lat"] == 54.35 and got["o1"]["lon"] == 18.65
     assert got["o2"]["lat"] == 54.44  # existing coords untouched
     assert got["o3"]["lat"] is None   # miss stays null (→ quarantine/geocode UDF)
+
+
+def test_geocode_with_memo_batches_and_memoizes(spark, tmp_path):
+    """First pass resolves misses through ONE batched resolver call and
+    merges them into the dim; second pass is a pure memo hit (resolver not
+    invoked) — the geocache_osm.json contract."""
+    from realestate_scraper_spark.operators.spatial import geocode_with_memo
+    from realestate_scraper_spark.sources.tables import ParquetTable
+
+    dim_table = ParquetTable(str(tmp_path), "geocode_dim")
+    dim_table.append(
+        spark.createDataFrame(
+            [("Gdansk", 54.35, 18.65)],
+            "city string, dim_lat double, dim_lon double",
+        ).coalesce(1),
+        stage="seed",
+    )
+    offers = spark.createDataFrame(
+        [
+            ("o1", "Gdansk", None, None),     # dim hit
+            ("o2", "Lublin", None, None),      # miss → resolver
+            ("o3", "Lublin", None, None),      # same key — one lookup only
+            ("o4", "Unknown", None, None),     # resolver can't resolve
+        ],
+        "offer_id string, city string, lat double, lon double",
+    )
+    calls = []
+
+    def resolver(cities):
+        calls.append(sorted(cities))
+        table = {"Lublin": (51.25, 22.57)}
+        return {c: table[c] for c in cities if c in table}
+
+    got = {r["offer_id"]: r for r in geocode_with_memo(offers, dim_table, resolver).collect()}
+    assert calls == [["Lublin", "Unknown"]]  # one batched call, distinct keys
+    assert got["o1"]["lat"] == 54.35
+    assert got["o2"]["lat"] == 51.25 and got["o3"]["lat"] == 51.25
+    assert got["o4"]["lat"] is None
+
+    # second pass: memo hit, resolver only sees the unresolvable key
+    calls.clear()
+    got2 = {r["offer_id"]: r for r in geocode_with_memo(offers, dim_table, resolver).collect()}
+    assert calls == [["Unknown"]]
+    assert got2["o2"]["lat"] == 51.25
