@@ -685,6 +685,34 @@ class CrawlEngine:
             .select(*OFFER_COLUMNS, "first_seen_round", "last_seen_round")
         )
 
+    def offers_wide(self) -> DataFrame | None:
+        """The 20-column wide storage variant (scrapper/core/storage.py:13-20):
+        canonical 11 + title/district/street/floor/floors/market_type/
+        property_type + first/last_seen (as crawl rounds), same latest-wins
+        merge as offers()."""
+        base = self.offers()
+        if base is None:
+            return None
+        st = self.staged().filter(F.col("is_valid"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("offer_id").orderBy(F.desc("round"))
+        wide = (
+            st.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "offer_id",
+                F.col("raw_title").alias("title"),
+                F.col("raw_district").alias("district"),
+                F.col("raw_street").alias("street"),
+                F.col("raw_floor").alias("floor"),
+                F.col("raw_floors").alias("floors"),
+                F.col("raw_market").alias("market_type"),
+                F.col("raw_ptype").alias("property_type"),
+            )
+        )
+        return base.join(wide, "offer_id")
+
     def photos(self) -> DataFrame | None:
         st = self.staged()
         if st is None:

@@ -31,7 +31,9 @@ OFFER_FIELDS = (
     "url string, url_canon string, source string, page_idx int, slot int, "
     "sub_slot int, parse_ok boolean, raw_price double, raw_currency string, "
     "raw_ppm2 double, raw_area double, raw_rooms int, raw_city string, "
-    "raw_lat double, raw_lon double, photo_urls array<string>"
+    "raw_lat double, raw_lon double, photo_urls array<string>, "
+    "raw_title string, raw_district string, raw_street string, "
+    "raw_floor int, raw_floors int, raw_market string, raw_ptype string"
 )
 
 _HREF_RE = re.compile(r'<a href="([^"]+)"')
@@ -49,6 +51,12 @@ _ROOMS_RE = re.compile(r'<span class="rooms">(\d+)\s*pokoje</span>')
 _CITY_RE = re.compile(r'<div class="address">([^<]*)</div>')
 _GEO_RE = re.compile(r'<meta name="geo" content="([-\d.]+);([-\d.]+)">')
 _SRCSET_RE = re.compile(r'<img srcset="([^"]*)">')
+_TITLE_RE = re.compile(r'<h1 class="title">([^<]*)</h1>')
+_DISTRICT_RE = re.compile(r'<span class="district">([^<]*)</span>')
+_STREET_RE = re.compile(r'<span class="street">([^<]*)</span>')
+_FLOOR_RE = re.compile(r'<span class="floor">(\d+)/(\d+)</span>')
+_MARKET_RE = re.compile(r'<span class="market">([^<]*)</span>')
+_PTYPE_RE = re.compile(r'<span class="ptype">([^<]*)</span>')
 _NUM_CLEAN = re.compile(r"[\s ]")
 
 
@@ -125,6 +133,13 @@ def _from_ldjson(html: str, out: dict) -> None:
     _fill(out, "rooms", d.get("numberOfRooms"))
     imgs = d.get("image") or []
     _fill(out, "photos", [u if isinstance(u, str) else u.get("url") for u in imgs] or None)
+    _fill(out, "title", d.get("name"))
+    _fill(out, "district", d.get("district"))
+    _fill(out, "street", d.get("street"))
+    _fill(out, "floor", d.get("floor"))
+    _fill(out, "floors", d.get("floors"))
+    _fill(out, "market", d.get("marketType"))
+    _fill(out, "ptype", d.get("propertyType"))
 
 
 def _from_nextdata(html: str, out: dict) -> None:
@@ -147,6 +162,13 @@ def _from_nextdata(html: str, out: dict) -> None:
     _fill(out, "lon", loc.get("longitude"))
     _fill(out, "photos", [i.get("large") for i in ad.get("images") or [] if i.get("large")] or None)
     _fill(out, "currency", "PLN" if tgt.get("Price") is not None else None)
+    _fill(out, "title", tgt.get("Title"))
+    _fill(out, "district", tgt.get("District"))
+    _fill(out, "street", tgt.get("Street"))
+    _fill(out, "floor", tgt.get("Floor_no"))
+    _fill(out, "floors", tgt.get("Building_floors_num"))
+    _fill(out, "market", tgt.get("MarketType"))
+    _fill(out, "ptype", tgt.get("ProperType"))
 
 
 def _parse_srcset(srcset: str) -> str | None:
@@ -197,6 +219,17 @@ def _from_css(html: str, out: dict) -> None:
     ]
     if photos:
         _fill(out, "photos", photos)
+    for rex, key in (
+        (_TITLE_RE, "title"), (_DISTRICT_RE, "district"),
+        (_STREET_RE, "street"), (_MARKET_RE, "market"), (_PTYPE_RE, "ptype"),
+    ):
+        m = rex.search(html)
+        if m:
+            _fill(out, key, m.group(1))
+    m = _FLOOR_RE.search(html)
+    if m:
+        _fill(out, "floor", int(m.group(1)))
+        _fill(out, "floors", int(m.group(2)))
 
 
 def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,6 +242,8 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             for k in (
                 "parse_ok", "raw_price", "raw_currency", "raw_ppm2", "raw_area",
                 "raw_rooms", "raw_city", "raw_lat", "raw_lon", "photo_urls",
+                "raw_title", "raw_district", "raw_street", "raw_floor",
+                "raw_floors", "raw_market", "raw_ptype",
             )
         }
         for html in pdf["html"]:
@@ -241,6 +276,17 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 float(get("lon")) if get("lon") is not None else None
             )
             cols["photo_urls"].append(get("photos") or [])
+            cols["raw_title"].append(get("title"))
+            cols["raw_district"].append(get("district"))
+            cols["raw_street"].append(get("street"))
+            cols["raw_floor"].append(
+                int(get("floor")) if get("floor") is not None else None
+            )
+            cols["raw_floors"].append(
+                int(get("floors")) if get("floors") is not None else None
+            )
+            cols["raw_market"].append(get("market"))
+            cols["raw_ptype"].append(get("ptype"))
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -259,5 +305,12 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "raw_lat": pd.Series(cols["raw_lat"], dtype="float64"),
                 "raw_lon": pd.Series(cols["raw_lon"], dtype="float64"),
                 "photo_urls": pd.Series(cols["photo_urls"], dtype="object"),
+                "raw_title": pd.Series(cols["raw_title"], dtype="object"),
+                "raw_district": pd.Series(cols["raw_district"], dtype="object"),
+                "raw_street": pd.Series(cols["raw_street"], dtype="object"),
+                "raw_floor": pd.Series(cols["raw_floor"], dtype="Int32"),
+                "raw_floors": pd.Series(cols["raw_floors"], dtype="Int32"),
+                "raw_market": pd.Series(cols["raw_market"], dtype="object"),
+                "raw_ptype": pd.Series(cols["raw_ptype"], dtype="object"),
             }
         )

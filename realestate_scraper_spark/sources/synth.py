@@ -129,6 +129,28 @@ class SynthOffer:
             "rooms": int(self.rooms),
         }
 
+    # ------------------------- wide storage fields (storage.py:13-20) ----
+    def title(self) -> str:
+        return f"{self.kind} {self.city} {self.area_m2}m2"
+
+    def district(self) -> str:
+        return f"Dzielnica{self.ordinal % 7}"
+
+    def street(self) -> str:
+        return f"ul. Testowa {self.ordinal % 50}"
+
+    def floor(self) -> int:
+        return self.ordinal % 10
+
+    def floors(self) -> int:
+        return self.floor() + 1 + self.ordinal % 5
+
+    def market_type(self) -> str:
+        return "primary" if self.ordinal % 2 == 0 else "secondary"
+
+    def property_type(self) -> str:
+        return self.kind
+
     def caption(self) -> str:
         # FIXTURES.md §1 template
         return f"{self.kind} {self.rooms}-pokoje {self.area_m2}m2 {self.city}"
@@ -296,7 +318,7 @@ def render_offer_html(o: SynthOffer) -> str:
     if o.variant == "ldjson":
         ld = {
             "@type": "Offer",
-            "name": f"{o.kind} {o.city}",
+            "name": o.title(),
             "price": None if o.inquiry_price else o.price_amount,
             "priceCurrency": "PLN",
             "geo": None if lat is None else {"latitude": lat, "longitude": lon},
@@ -305,6 +327,12 @@ def render_offer_html(o: SynthOffer) -> str:
             "numberOfRooms": o.rooms,
             "pricePerM2": o.displayed_ppm2 if not o.inquiry_price else None,
             "image": imgs,
+            "district": o.district(),
+            "street": o.street(),
+            "floor": o.floor(),
+            "floors": o.floors(),
+            "marketType": o.market_type(),
+            "propertyType": o.property_type(),
         }
         body = (
             f'<script type="application/ld+json">{json.dumps(ld)}</script>'
@@ -323,6 +351,13 @@ def render_offer_html(o: SynthOffer) -> str:
                             "Area": o.area_m2,
                             "Rooms_num": o.rooms,
                             "City": o.city,
+                            "Title": o.title(),
+                            "District": o.district(),
+                            "Street": o.street(),
+                            "Floor_no": o.floor(),
+                            "Building_floors_num": o.floors(),
+                            "MarketType": o.market_type(),
+                            "ProperType": o.property_type(),
                         },
                         "location": (
                             None
@@ -366,13 +401,21 @@ def render_offer_html(o: SynthOffer) -> str:
         address = (
             "" if o.ordinal % 31 == 17 else f'<div class="address">{o.city}</div>'
         )
+        wide = (
+            f'<h1 class="title">{o.title()}</h1>'
+            f'<span class="district">{o.district()}</span>'
+            f'<span class="street">{o.street()}</span>'
+            f'<span class="floor">{o.floor()}/{o.floors()}</span>'
+            f'<span class="market">{o.market_type()}</span>'
+            f'<span class="ptype">{o.property_type()}</span>'
+        )
         body = (
             f'<strong class="price">{price_txt}</strong>'
             f'{ppm2_txt}'
             f'{area_span}'
             f'<span class="rooms">{o.rooms} pokoje</span>'
             f'{address}'
-            f"{geo_meta}{photo_tags}"
+            f"{wide}{geo_meta}{photo_tags}"
         )
     return f"<html><head><title>{o.offer_id}</title></head><body>{body}</body></html>"
 

@@ -53,3 +53,37 @@ def test_domain_salting_spreads_shards(spark, tmp_path):
     # salt shards, so no single politeness bucket serializes a domain's wave
     for r in per_domain:
         assert r["n_shards"] >= 3, r
+
+
+def test_offers_wide_schema_and_values(spark, tmp_path):
+    """The 20-column wide storage variant (storage.py:13-20): wide fields
+    parsed from every page variant equal the golden derivations."""
+    offers, _, graph = build_corpus(seed=42, n_pages=2, cards_per_page=6)
+    eng = CrawlEngine(spark, str(tmp_path / "wide"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=6)
+
+    wide = eng.offers_wide()
+    expected_cols = {
+        "offer_id", "source", "url", "price_amount", "price_currency",
+        "price_per_m2", "city", "lat", "lon", "area_m2", "rooms",
+        "first_seen_round", "last_seen_round", "title", "district",
+        "street", "floor", "floors", "market_type", "property_type",
+    }
+    assert set(wide.columns) == expected_cols
+    got = {r["offer_id"]: r for r in wide.collect()}
+    robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
+    checked = {"ldjson": 0, "nextdata": 0, "css": 0}
+    for o in offers:
+        if o.offer_id in robots_blocked or o.golden_row() is None:
+            continue
+        r = got[o.offer_id]
+        assert r["title"] == o.title(), o.offer_id
+        assert r["district"] == o.district()
+        assert r["street"] == o.street()
+        assert r["floor"] == o.floor()
+        assert r["floors"] == o.floors()
+        assert r["market_type"] == o.market_type()
+        assert r["property_type"] == o.property_type()
+        checked[o.variant] += 1
+    assert all(v > 0 for v in checked.values()), checked
