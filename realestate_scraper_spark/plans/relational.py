@@ -559,7 +559,7 @@ def q18_freshness(spark, sf_dir):
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            COUNT(*) AS n,
-           COUNT_IF(value > 50) AS n_high
+           CAST(COUNT_IF(value > 50) AS BIGINT) AS n_high
     FROM events GROUP BY 1
     """,
 )
