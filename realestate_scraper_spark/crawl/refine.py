@@ -7,9 +7,10 @@ semantics chain:
        gratka.py:846-848, trojmiasto.py:59-61)
 - P5  PL-bbox plausibility gate (morizon.py:23,54-58) — out-of-bbox coords are
        treated as absent, not clamped
-- F18 area back-solve when displayed ppm2 disagrees with price/area by >8%
-       (morizon.py:581-593)
-- F17 price_per_m2 = round(price/area, 2) (morizon.py:573-579)
+- F18 area back-solve when area is MISSING or displayed ppm2 disagrees with
+       price/area by >8% (morizon.py:581-593: `(ar is None) or ... > 0.08`)
+- F17 ppm2 fill-in = round(price/area, 2) only when the page showed none;
+       a displayed ppm2 is kept verbatim (morizon.py:572-578)
 - P2  completeness gate (detail.py:21,30-31) — rejects go to the quarantine
        table with a reason (replaces offers_debug.jsonl, detail.py:207-212)
 - W1/W2 photo sequence numbering + per-offer limit via posexplode
@@ -79,16 +80,31 @@ def refined(parsed: DataFrame) -> DataFrame:
     lon = F.when(geo_ok, lon0)
 
     price = F.col("raw_price")
-    ppm2_disp = F.col("raw_ppm2")
-    implied_area = price / ppm2_disp
+    raw_area = F.col("raw_area")
+    # F17 fill-in first (morizon.py:572-578, gratka.py:916-923): when the
+    # page shows no ppm2, derive it from price / RAW area; a displayed ppm2
+    # is KEPT — the reference never recomputes it from the corrected area.
+    ppm2 = F.coalesce(
+        F.col("raw_ppm2"),
+        F.when(
+            price.isNotNull() & (price != 0) & (raw_area > 0),
+            F.round(price / raw_area, 2),
+        ),
+    )
+    # F18 back-solve (morizon.py:589-593): `(ar is None) or >8% disagreement`
+    # — fires for MISSING area too, not only for the disagreeing one.
+    implied_area = price / ppm2
     area = F.when(
         price.isNotNull()
-        & ppm2_disp.isNotNull()
-        & (ppm2_disp != 0)
-        & F.col("raw_area").isNotNull()
-        & (F.abs(F.col("raw_area") - implied_area) / implied_area > 0.08),
+        & (price != 0)
+        & ppm2.isNotNull()
+        & (ppm2 > 0)
+        & (
+            raw_area.isNull()
+            | (F.abs(raw_area - implied_area) / implied_area > 0.08)
+        ),
         F.round(implied_area, 2),
-    ).otherwise(F.col("raw_area"))
+    ).otherwise(raw_area)
 
     base = (
         parsed.withColumn("lat", lat)
@@ -103,15 +119,8 @@ def refined(parsed: DataFrame) -> DataFrame:
         )
         .withColumn("rooms", F.col("raw_rooms").cast("int"))
         .withColumn("offer_id", offer_id_expr(F.col("url"), F.col("source")))
-        .withColumn(
-            "price_per_m2",
-            F.when(
-                price.isNotNull()
-                & F.col("area_m2").isNotNull()
-                & (F.col("area_m2") != 0),
-                F.round(price / F.col("area_m2"), 2),
-            ),
-        )
+        # displayed-or-derived ppm2 travels as-is (see fill-in above)
+        .withColumn("price_per_m2", ppm2)
     )
     required = [
         "price_amount", "city", "area_m2", "rooms", "lat", "lon", "offer_id",

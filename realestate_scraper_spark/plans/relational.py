@@ -393,11 +393,14 @@ def q13_unit_price(spark, sf_dir):
     "q14_backsolve",
     """
     SELECT l_orderkey, l_linenumber,
-           CASE WHEN ABS(l_quantity - l_extendedprice / displayed_unit) /
+           CASE WHEN qty IS NULL OR
+                     ABS(qty - l_extendedprice / displayed_unit) /
                      (l_extendedprice / displayed_unit) > 0.08
                 THEN FLOOR(l_extendedprice / displayed_unit * 100 + 0.5) / 100.0
-                ELSE l_quantity END AS qty_reconciled
+                ELSE qty END AS qty_reconciled
     FROM (SELECT *,
+                 CASE WHEN l_orderkey % 13 = 3 THEN NULL
+                      ELSE l_quantity END AS qty,
                  CASE WHEN l_orderkey % 11 = 7
                       THEN FLOOR(l_extendedprice / l_quantity * 1.25 * 100 + 0.5) / 100.0
                       ELSE FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100.0
@@ -406,10 +409,12 @@ def q13_unit_price(spark, sf_dir):
     """,
 )
 def q14_backsolve(spark, sf_dir):
-    """F18: 8%-disagreement back-solve (morizon.py:581-593) — when the
-    displayed unit price disagrees with amount/quantity by >8%, re-derive the
-    quantity from amount/unit. Half-up rounding spelled explicitly (see q13).
-    """
+    """F18: back-solve (morizon.py:589-593) — `(ar is None) or >8%`: when the
+    quantity is MISSING or the displayed unit price disagrees with
+    amount/quantity by >8%, re-derive quantity from amount/unit. The %13
+    branch models the missing-area page; the displayed unit is always
+    derivable in this synthetic setup. Half-up rounding spelled explicitly
+    (see q13)."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
 
     def r2(c):
@@ -419,16 +424,20 @@ def q14_backsolve(spark, sf_dir):
         F.col("l_orderkey") % 11 == 7,
         r2(F.col("l_extendedprice") / F.col("l_quantity") * 1.25),
     ).otherwise(r2(F.col("l_extendedprice") / F.col("l_quantity")))
-    li = li.withColumn("displayed_unit", displayed)
+    qty = F.when(F.col("l_orderkey") % 13 == 3, F.lit(None)).otherwise(
+        F.col("l_quantity")
+    )
+    li = li.withColumn("displayed_unit", displayed).withColumn("qty", qty)
     implied = F.col("l_extendedprice") / F.col("displayed_unit")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.when(
-            F.abs(F.col("l_quantity") - implied) / implied > 0.08,
+            F.col("qty").isNull()
+            | (F.abs(F.col("qty") - implied) / implied > 0.08),
             r2(implied),
         )
-        .otherwise(F.col("l_quantity"))
+        .otherwise(F.col("qty"))
         .alias("qty_reconciled"),
     )
 

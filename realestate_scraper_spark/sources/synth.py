@@ -20,6 +20,10 @@ Adversarial rows (deterministic by offer ordinal):
   - ord %% 13 == 5  → missing geo (rejected by completeness gate P2)
   - ord %% 11 == 7  → displayed ppm2 disagrees with price/area by >8%
                       (area back-solve F18, morizon.py:581-593)
+  - ord %% 29 == 19 → area missing from the page entirely; with price +
+                      displayed ppm2 present the engine must back-solve
+                      area = price/ppm2 (the `(ar is None)` branch of
+                      morizon.py:591-593), NOT quarantine as incomplete
   - ord %% 19 == 11 → coords outside the PL bbox (P5 → treated as no-geo)
   - ord %%  7 == 2  → URL re-listed on a later page with shuffled query params
                       (F1 canonicalization + O1 dedupe-before-fetch)
@@ -41,6 +45,14 @@ from realestate_scraper_spark.functions.images import (
 )
 
 SOURCES = ("otodom", "morizon", "gratka", "trojmiasto")
+
+
+def _round2_half_up(x: float) -> float:
+    """Spark's ROUND(x, 2) on doubles: BigDecimal(double) + HALF_UP — match
+    it exactly (Python's round() is half-even and diverges at .xx5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
 DOMAINS = {
     "otodom": "www.otodom.pl",
@@ -91,6 +103,7 @@ class SynthOffer:
     missing_geo: bool
     out_of_bbox: bool
     ppm2_disagrees: bool
+    missing_area: bool = False
     photo_image_ids: list[str] = field(default_factory=list)
     photo_urls: list[str] = field(default_factory=list)
     investment_lead: int | None = None  # lead ordinal of the investment group
@@ -98,21 +111,25 @@ class SynthOffer:
     # -- expected engine output (golden), applying reference reconciliation --
     def golden_row(self) -> dict | None:
         """Expected offers-table row, or None if the completeness gate (P2)
-        must reject this offer (missing/out-of-bbox geo or null price)."""
+        must reject this offer (missing/out-of-bbox geo or null price).
+
+        Mirrors the reference's reconciliation ORDER (morizon.py:572-593,
+        gratka.py:916-933): (1) fill ppm2 from price/RAW area only when the
+        page showed none; (2) back-solve area when missing OR >8% off; the
+        displayed ppm2 is kept, never recomputed from the corrected area."""
         lat, lon = self.lat, self.lon
         if self.missing_geo or self.out_of_bbox:
             lat = lon = None
         price = None if self.inquiry_price else self.price_amount
-        area = self.area_m2
-        if (
-            price is not None
-            and self.displayed_ppm2
-            and abs(area - price / self.displayed_ppm2) / (price / self.displayed_ppm2)
-            > 0.08
-        ):
-            # F18 back-solve (morizon.py:581-593)
-            area = round(price / self.displayed_ppm2, 2)
-        ppm2 = round(price / area, 2) if price is not None and area else None
+        area = None if self.missing_area else self.area_m2
+        ppm2 = None if self.inquiry_price else self.displayed_ppm2
+        if ppm2 is None and price and area:
+            ppm2 = _round2_half_up(price / area)
+        if price and ppm2 and ppm2 > 0:
+            ar_calc = price / ppm2
+            if area is None or abs(area - ar_calc) / ar_calc > 0.08:
+                # F18 back-solve incl. the missing-area branch
+                area = _round2_half_up(ar_calc)
         if price is None or lat is None or lon is None:
             return None  # P2 completeness gate (detail.py:21,30-31)
         return {
@@ -249,6 +266,7 @@ def make_offers(
                         missing_geo=ordinal % 13 == 5,
                         out_of_bbox=out_bbox,
                         ppm2_disagrees=disagrees,
+                        missing_area=ordinal % 29 == 19,
                         investment_lead=lead_ordinal if is_investment else None,
                     )
                     n_photos = ordinal % 5
@@ -323,7 +341,7 @@ def render_offer_html(o: SynthOffer) -> str:
             "priceCurrency": "PLN",
             "geo": None if lat is None else {"latitude": lat, "longitude": lon},
             "address": {"addressLocality": o.city},
-            "floorSize": {"value": o.area_m2},
+            "floorSize": None if o.missing_area else {"value": o.area_m2},
             "numberOfRooms": o.rooms,
             "pricePerM2": o.displayed_ppm2 if not o.inquiry_price else None,
             "image": imgs,
@@ -348,7 +366,7 @@ def render_offer_html(o: SynthOffer) -> str:
                             "Price_per_m": o.displayed_ppm2
                             if not o.inquiry_price
                             else None,
-                            "Area": o.area_m2,
+                            "Area": None if o.missing_area else o.area_m2,
                             "Rooms_num": o.rooms,
                             "City": o.city,
                             "Title": o.title(),
@@ -387,7 +405,11 @@ def render_offer_html(o: SynthOffer) -> str:
             else f'<span class="ppm2">{o.displayed_ppm2:.2f} zł/m²</span>'
         )
         area_txt = f"{o.area_m2:.1f}".replace(".", ",")
-        if o.ordinal % 37 == 23:
+        if o.missing_area:
+            # the `(ar is None)` F18 branch: no structured area span AND no
+            # free-text m² candidates — area must come from price/ppm2
+            area_span = ""
+        elif o.ordinal % 37 == 23:
             # W5 (morizon.py:299-309): area appears only in free text among
             # other m² figures; the parser must pick the largest PLAUSIBLE
             # candidate (10..1000 m²) — the 1200 m² lot is out of window,

@@ -176,6 +176,28 @@ def test_kill_and_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, e
     assert fa == fb
 
 
+def test_missing_area_backsolved_not_quarantined(engine_run, corpus):
+    """F18 `(ar is None)` branch (morizon.py:591-593): offers whose page
+    shows price + ppm2 but NO area must back-solve area = price/ppm2 and
+    pass the completeness gate — not land in quarantine as 'incomplete'."""
+    offers, _, _ = corpus
+    eng, _ = engine_run
+    affected = [
+        o
+        for o in offers
+        if o.missing_area and o.golden_row() is not None and o.ordinal % 23 != 21
+    ]
+    assert affected, "adversarial case vacuous — widen the corpus"
+    got = {r["offer_id"]: r.asDict() for r in eng.offers().collect()}
+    for o in affected:
+        row = got.get(o.offer_id)
+        assert row is not None, f"{o.offer_id} quarantined despite back-solve"
+        g = o.golden_row()
+        assert row["area_m2"] == pytest.approx(g["area_m2"], abs=1e-6)
+        # displayed ppm2 is KEPT, never recomputed from the corrected area
+        assert row["price_per_m2"] == pytest.approx(g["price_per_m2"], abs=1e-6)
+
+
 def test_city_slug_fallback_exercised(engine_run, corpus):
     """F8: css pages with ord%31==17 omit the address block; the engine must
     recover the city from the URL slug (guard that the case is non-vacuous
