@@ -1,42 +1,50 @@
 """The crawl round loop — ST1-ST9 (SURVEY.md §2.9) as rounds-as-batch-jobs.
 
 One round =
-  1. pick the next pending listing page per source (sequential pagination,
-     parallel across sources/domains) + all pending offer pages,
+  1. take the eligible PENDING working set (ALL known pending listing pages
+     + all pending offer/investment pages; rows under a Retry-After hold are
+     excluded until their round arrives),
   2. politeness-governed fetch (mapInPandas, partitioned by domain_salt),
   3. listings → link extraction → classify → canonicalize → Bloom+anti-join
      dedupe (O1) → new PENDING frontier rows,
   4. offers → parse cascade → refine (expressions) → offers/photos/quarantine
      appends,
-  5. frontier status transitions + checkpoint + Bloom snapshot + metrics.
+  5. frontier DELTA appends (inserts + status updates), checkpoint, Bloom
+     shard-delta merge, metrics.
 
-Termination (ST2): per-source done when no pending listing pages remain
-(no_links), two consecutive pages yield no new offer URLs (no_new, A5 —
+Termination (ST2): per-source done when no pending pages remain (no_links),
+two consecutive listing pages yield no new offer URLs (no_new, A5 —
 morizon.py:703-709), or max_pages (L2). A global offer limit (ST3) brakes the
-whole crawl. Failed regions stay not-done and re-enter on the next run (ST5).
+whole crawl. Hard-failed regions stay not-done and re-enter via
+``retry_failed()`` (ST5); Retry-After rows re-enter IN-RUN via ``retry_at``
+(ST8, http.py:69-76).
 
-Resume (ST4): CrawlEngine.resume() rebuilds frontier + checkpoint + Bloom
-from the run directory and continues where the previous process stopped —
-kill-and-resume yields the same final tables as an uninterrupted run
-(idempotent re-dedup makes overlap harmless).
+Resume (ST4): CrawlEngine.resume() rebuilds the working set + counters +
+Bloom from the run directory with AGGREGATIONS ONLY — frontier *rows* are
+never collected to the driver at any point in the engine's lifecycle.
 
-Driver-job budget: a round is expensive at 10^10 scale only through its
-Spark actions, so the loop runs a FIXED, small number of them —
-  (a) one fetch+summary aggregation (politeness metrics, per-partition
-      lineage counters, listing sources — one collect),
-  (b) one collect of the round's NEW frontier rows (bounded by the round's
-      link yield, not frontier size) which also feeds the Bloom shards
-      driver-side,
-  (c) ONE staged append of the refined parse output (the raw zone;
-      offers/photos/quarantine are views over it, materialized once per
-      run) and the frontier rewrite (Iceberg MERGE INTO in production —
-      the rewrite here is the sandbox stand-in).
-Checkpoint progress (pending pages/offers, last page done) is tracked
-driver-side in lockstep with the table and written as atomic JSON, so no
-read-back aggregation runs per round; metrics rows buffer and flush once.
-Row counts come from parquet footers (no counting jobs). The driver-side
-loop is the one intentionally imperative piece (the crawl is inherently
-iterative — same as the reference's `while True` pagination,
+Scale discipline (the parts that must survive 10^10 frontier rows):
+- **No O(frontier) driver transfer.** Driver-side state is counters, the
+  per-source pending listing-page sets (bounded by pagination depth — the
+  same metadata the reference keeps as ``last_page_done``), and Bloom
+  bitmaps (~KB/shard). Every collect() in this file is an aggregate or a
+  metadata-scale set, never frontier rows.
+- **O(batch) table writes per round.** The durable frontier is a sequence of
+  delta snapshots: `insert` deltas (new URLs) and `update` deltas (status
+  transitions, full rows). ``frontier()`` reconciles latest-wins with a
+  window over commit order — the sandbox stand-in for Iceberg MERGE INTO —
+  and ``run()`` compacts to a single snapshot at checkpoint granularity.
+- **The working set is a cached DataFrame**, rebuilt per round as
+  (ineligible leftover ∪ transient re-enqueues ∪ new rows) — all O(batch)
+  unions, localCheckpoint()ed so the plan never grows with round count.
+- **The seen set is a lazy multi-snapshot scan** of the insert deltas
+  (``url_canon`` column only, partition-parallel) — the exact anti-join
+  backstop behind the Bloom prefilter; nothing is collected.
+- **Bloom deltas build distributed** (one Arrow group per domain-salt shard,
+  bloom.py) and OR-merge driver-side as ~KB bitmaps.
+
+The driver-side loop is the one intentionally imperative piece (the crawl is
+inherently iterative — same as the reference's `while True` pagination,
 otodom.py:484-617); every step inside a round is a declarative DataFrame op.
 """
 
@@ -46,7 +54,7 @@ import os
 import time
 from collections import defaultdict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realestate_scraper_spark.crawl import fetch as fetch_mod
@@ -54,6 +62,7 @@ from realestate_scraper_spark.crawl import frontier as frontier_mod
 from realestate_scraper_spark.crawl import parse as parse_mod
 from realestate_scraper_spark.crawl import refine as refine_mod
 from realestate_scraper_spark.crawl.bloom import ShardedBloom
+from realestate_scraper_spark.functions.urlnorm import url_hash32
 from realestate_scraper_spark.schemas import (
     CHECKPOINT_SCHEMA,
     FRONTIER_SCHEMA,
@@ -61,8 +70,14 @@ from realestate_scraper_spark.schemas import (
     STATUS_DONE,
     STATUS_FAILED,
     STATUS_PENDING,
+    STATUS_ROBOTS,
 )
 from realestate_scraper_spark.sources.tables import ParquetTable, _rows_from_footers
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+# manifest stages whose snapshots INTRODUCE urls (the seen set); update /
+# retry / refresh deltas only re-state already-seen urls
+_SEEN_STAGES = {"seed", "insert", "compact"}
 
 
 def _rows_under(path: str) -> int:
@@ -85,6 +100,7 @@ class CrawlEngine:
         bloom_fpp: float = 0.01,
         append_coalesce: int | None = 4,
         robots_rules: dict | None = None,
+        max_transient_attempts: int = 3,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -101,13 +117,15 @@ class CrawlEngine:
         # domain → RobotsRules; when set, robots gating runs as a pure
         # expression BEFORE any politeness budget is spent (crawl/politeness)
         self.robots_rules = robots_rules
+        # ST8: Retry-After rows re-enter until this many attempts burn out
+        self.max_transient_attempts = max_transient_attempts
 
         os.makedirs(run_dir, exist_ok=True)
         self.t_frontier = ParquetTable(run_dir, "frontier")
         # raw zone: one staged append per round (refined parse output,
         # partitioned by validity so counts come from parquet footers);
         # curated offers/photos/quarantine are views over it, durably
-        # materialized once per run in _finalize_curated().
+        # materialized once per run in finalize_curated().
         self.t_staged = ParquetTable(run_dir, "staged")
         self.t_offers = ParquetTable(run_dir, "offers")
         self.t_photos = ParquetTable(run_dir, "photos")
@@ -122,14 +140,17 @@ class CrawlEngine:
             fetch_mod.build_page_store(graph_rows)
         )
         self.bloom = ShardedBloom(fpp=bloom_fpp)
+        # cached PENDING working set (full frontier-schema rows); None until
+        # seed()/resume(). Rebuilt per round from O(batch) unions.
+        self._pending: DataFrame | None = None
         # per-source streak of consecutive listing pages with zero new offers
         self._no_new_streak: dict[str, int] = {}
         self._stopped: dict[str, str] = {}  # source → stop_reason
         self._sources: set[str] = set()
         self._offers_total = 0
         self.round_idx = 0
-        # Driver-tracked frontier progress (kept in lockstep with the table
-        # so checkpointing never needs a read-back aggregation):
+        # Driver-tracked frontier progress (metadata-scale only: page-number
+        # sets bounded by pagination depth + per-source row COUNTS):
         self._pending_listing_pages: dict[str, set[int]] = {}
         self._pending_offers: dict[str, int] = {}
         self._last_page_done: dict[str, int] = {}
@@ -142,15 +163,17 @@ class CrawlEngine:
             self._bootstrap_robots(seeds)
         df = frontier_mod.seed_frontier(self.spark, seeds, self.n_salts)
         frontier_mod.assert_frontier_schema(df)
-        rows = df.collect()
-        self.t_frontier.overwrite(
-            self.spark.createDataFrame(rows, FRONTIER_SCHEMA).coalesce(1),
-            round_idx=0,
-            stage="seed",
-        )
+        self.t_frontier.overwrite(df.coalesce(1), round_idx=0, stage="seed")
+        snap = self.spark.read.parquet(self.t_frontier.snapshot_paths()[0])
         self.bloom = ShardedBloom(fpp=self.bloom_fpp)
-        self._bloom_add_rows(rows)
-        self._track_new_rows(rows)
+        self.bloom.merge(
+            ShardedBloom.build(
+                snap, expected_per_shard=self.bloom.expected_per_shard,
+                fpp=self.bloom_fpp,
+            )
+        )
+        self._track_new_agg(self._new_rows_agg(snap))
+        self._pending = snap.localCheckpoint()
         self._write_checkpoint()
 
     def _bootstrap_robots(self, seeds: list[tuple[str, str]]) -> None:
@@ -176,6 +199,8 @@ class CrawlEngine:
     # -------------------------------------------------------------- resume
     @classmethod
     def resume(cls, spark: SparkSession, run_dir: str, graph_rows: list[dict], **kw):
+        """ST4: rebuild working set + counters from the run dir. Aggregations
+        and metadata-scale collects only — never frontier rows."""
         import json
 
         eng = cls(spark, run_dir, graph_rows, **kw)
@@ -183,35 +208,57 @@ class CrawlEngine:
             with open(eng.checkpoint_path) as f:
                 state = json.load(f)
             for src, v in state.items():
+                eng._sources.add(src)
                 eng.round_idx = max(eng.round_idx, v["round"])
                 if v["done"] and v["stop_reason"] not in (None, "no_links"):
                     eng._stopped[src] = v["stop_reason"]
+                if v["stop_reason"] == "fetch_fail":
+                    # a checkpointed fetch_fail region must NOT flip to
+                    # done/no_links just because its pending set drained —
+                    # it re-enters via retry_failed() (ST5; ADVICE r1)
+                    eng._had_fetch_fail[src] = True
                 eng._offers_total = max(
                     eng._offers_total, v["processed_offers_last_run"]
                 )
+        fr = eng.frontier()
+        if fr is not None:
+            fr = fr.localCheckpoint()  # materialize the reconciliation once
+            eng._pending = fr.filter(
+                F.col("status") == STATUS_PENDING
+            ).localCheckpoint()
+            # per-(source, kind, status) counters in ONE aggregation
+            for r in (
+                fr.groupBy("source", "kind", "status")
+                .agg(F.count("*").alias("n"), F.max("page_idx").alias("max_page"))
+                .collect()
+            ):
+                eng._sources.add(r["source"])
+                if r["kind"] == "listing" and r["status"] == STATUS_DONE:
+                    eng._last_page_done[r["source"]] = max(
+                        eng._last_page_done.get(r["source"], 0), r["max_page"]
+                    )
+                elif r["kind"] != "listing" and r["status"] == STATUS_PENDING:
+                    eng._pending_offers[r["source"]] = (
+                        eng._pending_offers.get(r["source"], 0) + r["n"]
+                    )
+            # pending listing PAGE NUMBERS: bounded by pagination depth — the
+            # same metadata scale as the reference's last_page_done cursor
+            for r in (
+                fr.filter(
+                    (F.col("status") == STATUS_PENDING)
+                    & (F.col("kind") == "listing")
+                )
+                .select("source", "page_idx")
+                .distinct()
+                .collect()
+            ):
+                eng._pending_listing_pages.setdefault(r["source"], set()).add(
+                    r["page_idx"]
+                )
         if os.path.exists(eng.bloom_path):
             eng.bloom = ShardedBloom.load(eng.bloom_path, fpp=eng.bloom_fpp)
-        else:
-            fr = eng.t_frontier.read(spark)
-            if fr is not None:
-                eng.bloom = ShardedBloom.build(fr, fpp=eng.bloom_fpp)
-        fr = eng.t_frontier.read(spark)
-        if fr is not None:
-            for r in fr.collect():
-                eng._sources.add(r["source"])
-                if r["status"] == STATUS_PENDING:
-                    if r["kind"] == "listing":
-                        eng._pending_listing_pages.setdefault(
-                            r["source"], set()
-                        ).add(r["page_idx"])
-                    else:
-                        eng._pending_offers[r["source"]] = (
-                            eng._pending_offers.get(r["source"], 0) + 1
-                        )
-                elif r["kind"] == "listing" and r["status"] == STATUS_DONE:
-                    eng._last_page_done[r["source"]] = max(
-                        eng._last_page_done.get(r["source"], 0), r["page_idx"]
-                    )
+        elif fr is not None:
+            eng.bloom = ShardedBloom.build(fr, fpp=eng.bloom_fpp)
         return eng
 
     # ---------------------------------------------------------- round loop
@@ -230,6 +277,7 @@ class CrawlEngine:
                 self._write_checkpoint()
                 break
         self._flush_metrics()
+        self._compact_frontier()
         self.finalize_curated()
         return stats
 
@@ -243,41 +291,50 @@ class CrawlEngine:
         )
         self._metrics_buf = []
 
+    def _compact_frontier(self) -> None:
+        """Collapse the delta history into one snapshot (checkpoint-time
+        compaction: O(frontier) I/O once per RUN, never per round)."""
+        if len(self.t_frontier.snapshot_paths()) <= 1:
+            return
+        fr = self.frontier()
+        if fr is not None:
+            self.t_frontier.overwrite(
+                self._coalesced(fr.select(*FRONTIER_COLS)),
+                round_idx=self.round_idx,
+                stage="compact",
+            )
+
     def retry_failed(self) -> int:
-        """ST5 retry rounds: re-enqueue FAILED rows (except robots-blocked)
-        as PENDING with attempts+1 — the reference's \'retry only fetch_fail
-        regions\' loop (cli.py:731-816) at URL granularity. Returns the
-        number of re-enqueued rows."""
-        fr = self.t_frontier.read(self.spark)
+        """ST5 retry rounds: re-enqueue FAILED rows as PENDING with
+        attempts+1 — the reference's 'retry only fetch_fail regions' loop
+        (cli.py:731-816) at URL granularity. Robots-blocked rows carry
+        STATUS_ROBOTS and are never re-enqueued (they can only re-fail).
+        Written as an O(failed) update delta; returns the re-enqueued count.
+        """
+        fr = self.frontier()
         if fr is None:
             return 0
-        retryable = F.col("status") == STATUS_FAILED
-        reset = fr.withColumn(
-            "attempts",
-            F.when(retryable, F.col("attempts") + 1).otherwise(F.col("attempts")),
-        ).withColumn(
-            "status",
-            F.when(retryable, STATUS_PENDING).otherwise(F.col("status")),
+        reset = (
+            fr.filter(F.col("status") == STATUS_FAILED)
+            .withColumn("attempts", F.col("attempts") + 1)
+            .withColumn("status", F.lit(STATUS_PENDING))
+            .withColumn("round", F.lit(self.round_idx))
+            .withColumn("retry_at", F.lit(None).cast("double"))
         )
-        rows = reset.select(*[f.name for f in FRONTIER_SCHEMA.fields]).collect()
-        self.t_frontier.overwrite(
-            self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
+        n = self.t_frontier.append(
+            self._coalesced(reset.select(*FRONTIER_COLS)),
             round_idx=self.round_idx,
             stage="retry_reset",
         )
-        n = 0
-        # rebuild driver-tracked pending state for the re-enqueued rows
-        for r in rows:
-            if r["status"] == STATUS_PENDING and r["attempts"] > 0:
-                n += 1
-                if r["kind"] == "listing":
-                    self._pending_listing_pages.setdefault(
-                        r["source"], set()
-                    ).add(r["page_idx"])
-                else:
-                    self._pending_offers[r["source"]] = (
-                        self._pending_offers.get(r["source"], 0) + 1
-                    )
+        if n == 0:
+            return 0
+        requeued = self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
+        self._track_new_agg(self._new_rows_agg(requeued))
+        self._pending = (
+            requeued
+            if self._pending is None
+            else self._pending.unionByName(requeued)
+        ).localCheckpoint()
         # failed sources get another chance at their stop state
         self._stopped = {
             k: v for k, v in self._stopped.items() if v in ("no_new", "offer_limit")
@@ -290,30 +347,33 @@ class CrawlEngine:
         """Re-enqueue DONE offer pages for a refresh pass (the reference's
         repeated `detail` runs over an existing urls.csv re-parse every URL;
         first_seen/last_seen split on the merge, detail.py:83,89-90).
-        attempts bumps so flaky pages don't re-fail."""
-        fr = self.t_frontier.read(self.spark)
+        attempts bumps so flaky pages don't re-fail. O(done-offers) delta."""
+        fr = self.frontier()
         if fr is None:
             return 0
-        target = (F.col("status") == STATUS_DONE) & (F.col("kind") == "offer")
-        reset = fr.withColumn(
-            "status", F.when(target, STATUS_PENDING).otherwise(F.col("status"))
-        ).withColumn(
-            "attempts",
-            F.when(target, F.col("attempts") + 1).otherwise(F.col("attempts")),
+        reset = (
+            fr.filter(
+                (F.col("status") == STATUS_DONE) & (F.col("kind") == "offer")
+            )
+            .withColumn("attempts", F.col("attempts") + 1)
+            .withColumn("status", F.lit(STATUS_PENDING))
+            .withColumn("round", F.lit(self.round_idx))
+            .withColumn("retry_at", F.lit(None).cast("double"))
         )
-        rows = reset.select(*[f.name for f in FRONTIER_SCHEMA.fields]).collect()
-        self.t_frontier.overwrite(
-            self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
+        n = self.t_frontier.append(
+            self._coalesced(reset.select(*FRONTIER_COLS)),
             round_idx=self.round_idx,
             stage="refresh_reset",
         )
-        n = 0
-        for r in rows:
-            if r["status"] == STATUS_PENDING and r["kind"] == "offer":
-                n += 1
-                self._pending_offers[r["source"]] = (
-                    self._pending_offers.get(r["source"], 0) + 1
-                )
+        if n == 0:
+            return 0
+        requeued = self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
+        self._track_new_agg(self._new_rows_agg(requeued))
+        self._pending = (
+            requeued
+            if self._pending is None
+            else self._pending.unionByName(requeued)
+        ).localCheckpoint()
         self._stopped = {
             k: v for k, v in self._stopped.items() if v == "offer_limit"
         }
@@ -323,34 +383,36 @@ class CrawlEngine:
     def _coalesced(self, df: DataFrame) -> DataFrame:
         return df.coalesce(self.append_coalesce) if self.append_coalesce else df
 
+    def _eligible_pending_total(self) -> int:
+        return sum(
+            self._n_pending(src)
+            for src in self._sources
+            if src not in self._stopped
+        )
+
     def _one_round(self) -> tuple[bool, int, int]:
         t_start = time.monotonic()
         self.round_idx += 1
-        fr = self.t_frontier.read(self.spark)
-        if fr is None:
+        if self._pending is None or self._eligible_pending_total() == 0:
+            self._finalize_done()
             return False, 0, 0
 
-        pending = fr.filter(F.col("status") == STATUS_PENDING)
+        # Eligibility is a pure filter over the cached working set: ALL known
+        # pending listing pages drain together (rounds ≪ O(frontier); order
+        # is a RECORDED key, not an execution order), offers drain always,
+        # Retry-After holds wait for their round (ST8).
+        eligible = F.col("retry_at").isNull() | (
+            F.col("retry_at") <= F.lit(float(self.round_idx))
+        )
         if self.max_pages is not None:
-            pending = pending.filter(
-                (F.col("kind") != "listing") | (F.col("page_idx") <= self.max_pages)
+            eligible = eligible & (
+                (F.col("kind") != "listing")
+                | (F.col("page_idx") <= self.max_pages)
             )
         if self._stopped:
-            pending = pending.filter(~F.col("source").isin(list(self._stopped)))
-
-        # Sequential pagination per source: only the lowest pending listing
-        # page is eligible this round (its successor is discovered on it).
-        next_pages = (
-            pending.filter(F.col("kind") == "listing")
-            .groupBy("source")
-            .agg(F.min("page_idx").alias("page_idx"))
-        )
-        listing_batch = pending.filter(F.col("kind") == "listing").join(
-            F.broadcast(next_pages), on=["source", "page_idx"], how="left_semi"
-        )
-        # offers AND investment pages drain every round (leaves + 2nd hop)
-        offer_batch = pending.filter(F.col("kind") != "listing")
-        batch = listing_batch.unionByName(offer_batch)
+            eligible = eligible & ~F.col("source").isin(list(self._stopped))
+        batch = self._pending.filter(eligible)
+        leftover = self._pending.filter(~eligible)
 
         if self.robots_rules:
             from realestate_scraper_spark.crawl import politeness
@@ -377,21 +439,29 @@ class CrawlEngine:
                 real_sleep=self.real_sleep,
             ).cache()
 
-        # ---- ACTION 1: fetch summary (batch size, lineage counters,
-        #      listing sources, status mix) in one aggregation.
+        # ---- ACTION 1: fetch summary (batch size, lineage counters, status
+        #      mix, per-page yield accounting) in one aggregation.
         summary = (
-            fetched.groupBy("source", "domain_salt", "kind", "fetch_status", "page_idx")
+            fetched.groupBy(
+                "source", "domain_salt", "kind", "fetch_status", "page_idx",
+                "attempts",
+            )
             .agg(F.count("*").alias("n"))
             .collect()
         )
         batch_n = sum(r["n"] for r in summary)
         if batch_n == 0:
             fetched.unpersist()
-            self._finalize_done(fr)
+            self._finalize_done()
             return False, 0, 0
-        listing_sources = {r["source"] for r in summary if r["kind"] == "listing"}
         self._sources.update(r["source"] for r in summary)
         self._track_fetched(summary)
+        # listing pages whose fetch RESOLVED this round (not re-enqueued) —
+        # the per-source page count feeding the A5 no-new streak
+        listing_pages_fetched: dict[str, set[int]] = defaultdict(set)
+        for r in summary:
+            if r["kind"] == "listing" and not self._is_requeue(r):
+                listing_pages_fetched[r["source"]].add(r["page_idx"])
 
         # ---- listings + investment pages → new frontier candidates
         listings = fetched.filter(F.col("kind").isin("listing", "investment"))
@@ -399,19 +469,38 @@ class CrawlEngine:
             "source", "page_idx", "url", "slot", "kind", "html"
         ).mapInPandas(parse_mod.extract_links_batches, schema=parse_mod.LINKS_FIELDS)
         candidates = frontier_mod.classify_and_key_links(links, self.n_salts)
-        fresh = frontier_mod.anti_join_seen(candidates, fr, self.bloom)
+        fresh = frontier_mod.anti_join_seen(candidates, self._seen(), self.bloom)
 
-        # ---- ACTION 2: collect the round's new rows (bounded by link yield)
-        new_rows_local = frontier_mod.finish_new_rows(fresh, self.round_idx).collect()
-        new_n = len(new_rows_local)
-        new_df = self.spark.createDataFrame(new_rows_local, FRONTIER_SCHEMA)
-        self._bloom_add_rows(new_rows_local)
-        self._track_new_rows(new_rows_local)
-
+        # ---- ACTION 2: insert delta (O(new rows)); read back disk-backed
+        new_rows = frontier_mod.finish_new_rows(fresh, self.round_idx)
+        ins_n = self.t_frontier.append(
+            self._coalesced(new_rows.select(*FRONTIER_COLS)),
+            round_idx=self.round_idx,
+            stage="insert",
+        )
+        new_df = (
+            self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
+            if ins_n
+            else None
+        )
+        new_n = 0
         new_offer_counts: dict[str, int] = defaultdict(int)
-        for r in new_rows_local:
-            if r["kind"] != "listing":  # offers + investments count as yield
-                new_offer_counts[r["source"]] += 1
+        if new_df is not None:
+            # Bloom delta: built distributed per shard, OR-merged driver-side
+            # (~KB bitmaps) — no row collect (north_rule Bloom lifecycle)
+            self.bloom.merge(
+                ShardedBloom.build(
+                    new_df,
+                    expected_per_shard=self.bloom.expected_per_shard,
+                    fpp=self.bloom_fpp,
+                )
+            )
+            agg = self._new_rows_agg(new_df)
+            self._track_new_agg(agg)
+            for r in agg:
+                new_n += r["n"]
+                if r["kind"] != "listing":  # offers + investments = yield
+                    new_offer_counts[r["source"]] += r["n"]
 
         # ---- offers → parse → refine → ONE staged append (raw zone);
         #      curated tables are views finalized once per run.
@@ -434,29 +523,35 @@ class CrawlEngine:
         offers_n = _rows_under(os.path.join(snap_path, "is_valid=true"))
         self._offers_total += offers_n
 
-        # ---- frontier transitions: fetched rows leave PENDING
-        status_map = fetched.select(
-            "url_hash64",
-            F.when(F.col("fetch_status") == fetch_mod.FETCH_OK, STATUS_DONE)
-            .otherwise(STATUS_FAILED)
-            .alias("new_status"),
+        # ---- frontier transitions as an O(batch) UPDATE DELTA (latest-wins
+        #      on read) — replaces the full-frontier join + rewrite.
+        updates = self._status_updates(fetched)
+        self.t_frontier.append(
+            self._coalesced(updates.select(*FRONTIER_COLS)),
+            round_idx=self.round_idx,
+            stage="update",
         )
-        updated = (
-            fr.join(F.broadcast(status_map), on="url_hash64", how="left")
-            .withColumn("status", F.coalesce("new_status", "status"))
-            .drop("new_status")
-        )
-        cols = [f.name for f in FRONTIER_SCHEMA.fields]
-        next_frontier = updated.select(*cols).unionByName(new_df)
-        self.t_frontier.overwrite(
-            next_frontier, round_idx=self.round_idx, stage="frontier"
-        )
+
+        # ---- next working set: O(batch) unions, lineage cut per round
+        requeues = updates.filter(F.col("status") == STATUS_PENDING)
+        nxt = leftover.unionByName(requeues)
+        if new_df is not None:
+            nxt = nxt.unionByName(new_df)
+        prev = self._pending
+        self._pending = nxt.select(*FRONTIER_COLS).localCheckpoint()
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
         self.bloom.save(self.bloom_path)
 
-        # ---- stop rules (A5 no-new streak)
-        for src in listing_sources:
+        # ---- stop rules (A5 no-new streak): a source with k listing pages
+        # resolved this round and zero new yield advances its streak by k
+        # (identical to the reference's per-page rule at one page per round)
+        for src, pages in listing_pages_fetched.items():
             if new_offer_counts.get(src, 0) == 0:
-                streak = self._no_new_streak.get(src, 0) + 1
+                streak = self._no_new_streak.get(src, 0) + len(pages)
                 self._no_new_streak[src] = streak
                 if streak >= self.no_new_stop:
                     self._stopped[src] = "no_new"
@@ -489,48 +584,112 @@ class CrawlEngine:
         fetched.unpersist()
         return True, batch_n, offers_n
 
+    # ------------------------------------------------- round-loop helpers
+    def _seen(self) -> DataFrame:
+        """The URL-seen set as a lazy multi-snapshot scan of the insert
+        deltas (url_canon only). Durable, partition-parallel, zero driver
+        memory — the exact backstop behind the Bloom prefilter (J4/O1)."""
+        paths = self.t_frontier.snapshot_paths(_SEEN_STAGES)
+        return self.spark.read.parquet(*paths).select("url_canon")
+
+    def _is_requeue(self, r) -> bool:
+        """Does this summary row re-enter PENDING under ST8?"""
+        return (
+            r["fetch_status"] == fetch_mod.FETCH_TRANSIENT
+            and r["attempts"] + 1 < self.max_transient_attempts
+        )
+
+    def _status_updates(self, fetched: DataFrame) -> DataFrame:
+        """Fetched rows → full-schema frontier rows with their new status.
+
+        OK → DONE; robots-blocked → ROBOTS (terminal, never retried);
+        Retry-After TRANSIENT → PENDING with retry_at = next round and
+        attempts+1 until the in-run budget burns out (ST8, http.py:69-76);
+        everything else (hard fail / missing) → FAILED (ST5 territory)."""
+        is_ok = F.col("fetch_status") == fetch_mod.FETCH_OK
+        is_robots = F.col("fetch_status") == fetch_mod.FETCH_ROBOTS
+        is_transient = F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
+        requeue = is_transient & (
+            F.col("attempts") + 1 < self.max_transient_attempts
+        )
+        return fetched.select(
+            "url",
+            "url_canon",
+            url_hash32(F.col("url_canon")).alias("url_hash32"),
+            "url_hash64",
+            "source",
+            "domain",
+            "domain_salt",
+            "kind",
+            "page_idx",
+            "slot",
+            "sub_slot",
+            F.lit(None).cast("string").alias("offer_id"),
+            F.when(is_ok, STATUS_DONE)
+            .when(is_robots, STATUS_ROBOTS)
+            .when(requeue, STATUS_PENDING)
+            .otherwise(STATUS_FAILED)
+            .alias("status"),
+            F.lit(self.round_idx).alias("round"),
+            frontier_mod.priority_expr(F.col("page_idx"), F.col("kind")).alias(
+                "priority"
+            ),
+            F.when(requeue, F.lit(float(self.round_idx + 1)))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("retry_at"),
+            F.when(is_transient, F.col("attempts") + 1)
+            .otherwise(F.col("attempts"))
+            .alias("attempts"),
+        )
+
+    @staticmethod
+    def _new_rows_agg(df: DataFrame):
+        """(source, kind, page_idx, n) — the metadata-scale aggregate that
+        feeds driver counters in place of collecting rows."""
+        return (
+            df.groupBy("source", "kind", "page_idx")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
     # ------------------------------------------------------------ teardown
-    def _finalize_done(self, fr: DataFrame) -> None:
-        for src in sorted(self._sources) or [
-            r["source"] for r in fr.select("source").distinct().collect()
-        ]:
+    def _finalize_done(self) -> None:
+        for src in sorted(self._sources):
             if self._had_fetch_fail.get(src):
                 continue  # retryable — stays not-done with fetch_fail (ST5)
             self._stopped.setdefault(src, "no_links")
         self._write_checkpoint()
         self._flush_metrics()
 
-    def _bloom_add_rows(self, rows) -> None:
-        by_salt: dict[str, list[int]] = defaultdict(list)
-        for r in rows:
-            by_salt[r["domain_salt"]].append(r["url_hash64"])
-        for salt, hashes in by_salt.items():
-            self.bloom.add_local(salt, hashes)
-
-    def _track_new_rows(self, rows) -> None:
-        for r in rows:
-            self._sources.add(r["source"])
+    def _track_new_agg(self, agg_rows) -> None:
+        for r in agg_rows:
+            src = r["source"]
+            self._sources.add(src)
             if r["kind"] == "listing":
-                pages = self._pending_listing_pages.setdefault(r["source"], set())
-                pages.add(r["page_idx"])
+                self._pending_listing_pages.setdefault(src, set()).add(
+                    r["page_idx"]
+                )
             else:
-                self._pending_offers[r["source"]] = (
-                    self._pending_offers.get(r["source"], 0) + 1
+                self._pending_offers[src] = (
+                    self._pending_offers.get(src, 0) + r["n"]
                 )
 
     def _track_fetched(self, summary) -> None:
         for r in summary:
             src = r["source"]
+            if self._is_requeue(r):
+                continue  # stays pending under a Retry-After hold (ST8)
             if r["kind"] == "listing":
                 self._pending_listing_pages.get(src, set()).discard(r["page_idx"])
                 if r["fetch_status"] == fetch_mod.FETCH_OK:
                     self._last_page_done[src] = max(
                         self._last_page_done.get(src, 0), r["page_idx"]
                     )
-                else:
-                    # a listing page failed → the region ends as fetch_fail,
-                    # NOT done/no_links (the reference retries exactly these
-                    # regions next round, cli.py:799-806)
+                elif r["fetch_status"] != fetch_mod.FETCH_ROBOTS:
+                    # a listing page failed for real → the region ends as
+                    # fetch_fail, NOT done/no_links (the reference retries
+                    # exactly these regions next round, cli.py:799-806);
+                    # robots-blocked listings are a deliberate permanent skip
                     self._had_fetch_fail[src] = True
             else:
                 self._pending_offers[src] = max(
@@ -659,8 +818,6 @@ class CrawlEngine:
         MERGE semantics, ST6 — re-crawls update rather than duplicate),
         first_seen/last_seen carried as crawl rounds (F14 stamping, made
         deterministic by using logical time)."""
-        from pyspark.sql import Window
-
         from realestate_scraper_spark.schemas import OFFER_COLUMNS
 
         st = self.staged()
@@ -694,7 +851,6 @@ class CrawlEngine:
         if base is None:
             return None
         st = self.staged().filter(F.col("is_valid"))
-        from pyspark.sql import Window
 
         w = Window.partitionBy("offer_id").orderBy(F.desc("round"))
         wide = (
@@ -728,7 +884,18 @@ class CrawlEngine:
         )
 
     def frontier(self) -> DataFrame | None:
-        return self.t_frontier.read(self.spark)
+        """Reconciled frontier: latest status wins per url_canon across the
+        delta snapshots (window over commit order — the read-side half of
+        the MERGE-INTO stand-in; see sources/tables.read_versioned)."""
+        fr = self.t_frontier.read_versioned(self.spark)
+        if fr is None:
+            return None
+        w = Window.partitionBy("url_canon").orderBy(F.desc("_seq"))
+        return (
+            fr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*FRONTIER_COLS)
+        )
 
     def finalize_curated(self) -> None:
         """Materialize the curated offers/photos/quarantine tables from the

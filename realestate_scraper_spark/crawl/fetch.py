@@ -41,17 +41,26 @@ FETCH_RESULT_FIELDS = (
 FETCH_OK = "OK"
 FETCH_ROBOTS = "ROBOTS"
 FETCH_MISSING = "MISSING"
-FETCH_TRANSIENT = "TRANSIENT"  # 429/503-style; retryable (ST8)
+FETCH_TRANSIENT = "TRANSIENT"  # 429/503 + Retry-After; re-enqueued in-run (ST8)
+FETCH_FAIL = "FAIL"  # hard failure (network/5xx) — terminal for this run (ST5)
 
 
 def build_page_store(
     graph_rows: list[dict],
-) -> dict[str, tuple[str, bool, int, bool]]:
-    """url_canon → (html, robots_allow, crawl_delay_ms, flaky).
+) -> dict[str, tuple[str, bool, int, bool, bool]]:
+    """url_canon → (html, robots_allow, crawl_delay_ms, flaky, retry_after).
 
-    ``flaky`` pages fail transiently on the first attempt (the synthetic
-    stand-in for 429/503 + Retry-After, scrapper/core/http.py:69-76) and
-    succeed on retries — exercised by the ST5 retry-rounds test."""
+    Two synthetic failure modes mirror the reference's HTTP client
+    (scrapper/core/http.py:51-76):
+
+    - ``retry_after``: a 429/503 WITH a Retry-After header on the first
+      attempt — the reference sleeps and retries in-run (http.py:69-76); the
+      engine re-enqueues the row with ``retry_at`` and retries on a later
+      round of the SAME run, no manual intervention (ST8).
+    - ``flaky``: a hard failure on the first attempt (exhausts the in-run
+      retry budget) — the reference surfaces it as fetch_fail and only the
+      outer retry loop (cli.py:731-816) re-runs it; the engine mirror is
+      ``retry_failed()`` (ST5)."""
     from realestate_scraper_spark.functions.urlnorm import canonicalize_url_py
 
     return {
@@ -60,6 +69,7 @@ def build_page_store(
             bool(r["robots_allow"]),
             int(r["crawl_delay_ms"]),
             bool(r.get("flaky", False)),
+            bool(r.get("retry_after", False)),
         )
         for r in graph_rows
     }
@@ -91,20 +101,23 @@ def make_fetch_stage(
                     out_status.append(FETCH_MISSING)
                     out_at.append(-1.0)
                     continue
-                html, allow, delay_ms, flaky = rec
+                html, allow, delay_ms, flaky, retry_after = rec
                 if not allow:
                     out_html.append(None)
                     out_status.append(FETCH_ROBOTS)
                     out_at.append(-1.0)
                     continue
-                if flaky and int(attempts) == 0:
-                    # transient 429/503 — budget IS spent (the request went
-                    # out), result is retryable
+                if (flaky or retry_after) and int(attempts) == 0:
+                    # failed request — budget IS spent (the request went out);
+                    # Retry-After style → TRANSIENT (in-run re-enqueue, ST8),
+                    # hard failure → FAIL (terminal this run, ST5)
                     eff_delay = delay_ms * n_salts
                     at = max(next_free.get(domain, 0.0), 0.0)
                     next_free[domain] = at + eff_delay
                     out_html.append(None)
-                    out_status.append(FETCH_TRANSIENT)
+                    out_status.append(
+                        FETCH_TRANSIENT if retry_after else FETCH_FAIL
+                    )
                     out_at.append(at)
                     continue
                 eff_delay = delay_ms * n_salts  # shard's share of the budget

@@ -160,17 +160,23 @@ def anti_join_seen(
     The Bloom admits definitely-new rows without shuffling them against the
     frontier; only maybe-seen rows pay the anti-join. False positives are
     harmless (they just take the exact path); false negatives are impossible.
+
+    The exact joins key on ``url_canon`` (the full canonical string), NOT on
+    xxhash64: at 10^10 URLs the 64-bit birthday bound yields ~3 expected
+    collisions, and a collision in the anti-join silently drops a distinct
+    URL. Hashes are for the Bloom prefilter only (FPs there are harmless —
+    they just route rows to the exact check).
     """
     if bloom is not None and bloom.shards:
         flagged = bloom.filter_maybe_seen(candidates)
         fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         checked = maybe.join(
-            seen.select("url_hash64").distinct(), on="url_hash64", how="left_anti"
+            seen.select("url_canon"), on="url_canon", how="left_anti"
         )
         return fresh.unionByName(checked)
     return candidates.join(
-        seen.select("url_hash64").distinct(), on="url_hash64", how="left_anti"
+        seen.select("url_canon"), on="url_canon", how="left_anti"
     )
 
 

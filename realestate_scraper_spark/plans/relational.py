@@ -632,23 +632,101 @@ def q21_json_extract(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- q22
+_PL_NAMES = [
+    "Łódź", "Gdańsk", "Wrocław", "Kraków", "Żyrardów", "Świętochłowice",
+    "Bielsko-Biała", "Zielona Góra",
+]
+# DuckDB twin of NFKD→ascii-ignore on the Polish alphabet: fold the
+# decomposable letters, DELETE ł (it has no decomposition — ascii-ignore
+# drops it, so the reference's own slug of "Wrocław" is "wrocaw").
+_PL_FOLD_SQL = (
+    "replace(replace(replace(replace(replace(replace(replace(replace("
+    "replace(lower({src}),"
+    "'ą','a'),'ć','c'),'ę','e'),'ł',''),'ń','n'),'ó','o'),'ś','s'),"
+    "'ź','z'),'ż','z')"
+)
+
+
 @_reg(
     "q22_slugify",
-    """
+    f"""
+    WITH t AS (
+      SELECT p_partkey,
+             (p_name || ' ' ||
+              ['Łódź','Gdańsk','Wrocław','Kraków','Żyrardów','Świętochłowice',
+               'Bielsko-Biała','Zielona Góra'][CAST(p_partkey % 8 AS INT) + 1]
+             ) AS name
+      FROM part)
     SELECT p_partkey,
-           regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
-                          '(^-)|(-$)', '', 'g') AS slug
-    FROM part
+           trim(regexp_replace({_PL_FOLD_SQL.format(src="name")},
+                               '[^a-z0-9]+', '-', 'g'), '-') AS slug
+    FROM t
     """,
 )
 def q22_slugify(spark, sf_dir):
-    """F2: slugify (otodom.py:35-39) — lower, non-alnum→'-', trim dashes."""
-    slug = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("p_name")), "[^a-z0-9]+", "-"),
-        "(^-)|(-$)",
-        "",
+    """F2: slugify with the reference's NFKD→ascii semantics (otodom.py:34-38,
+    gratka.py:76-81) over part names suffixed with real Polish city names —
+    diacritics fold, ł is dropped, pure expressions (functions/textnorm)."""
+    from realestate_scraper_spark.functions.textnorm import slugify_expr
+
+    name = F.concat(
+        F.col("p_name"),
+        F.lit(" "),
+        F.element_at(
+            F.array(*[F.lit(n) for n in _PL_NAMES]),
+            (F.col("p_partkey") % 8 + 1).cast("int"),
+        ),
     )
-    return t(spark, sf_dir, "part").select("p_partkey", slug.alias("slug"))
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", slugify_expr(name).alias("slug")
+    )
+
+
+# --------------------------------------------------------------------- q45
+_KEY_NAMES = [
+    "Bielsko – Biała", "Kędzierzyn—Koźle", "  Stalowa   Wola ", "Łódź",
+    "Gdańsk", "Ruda Śląska", "Jelenia‑Góra", "Zielona  Góra",
+]
+
+
+@_reg(
+    "q45_city_key",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             ['Bielsko – Biała','Kędzierzyn—Koźle','  Stalowa   Wola ','Łódź',
+              'Gdańsk','Ruda Śląska','Jelenia‑Góra','Zielona  Góra'
+             ][CAST(p_partkey % 8 AS INT) + 1] AS name
+      FROM part),
+    folded AS (
+      SELECT p_partkey,
+             replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(
+               replace(replace(replace(replace(replace(replace(
+                 lower(trim(name)),
+                 '‐','-'),'‑','-'),'‒','-'),'–','-'),'—','-'),'−','-'),
+             'ą','a'),'ć','c'),'ę','e'),'ł','l'),'ń','n'),'ó','o'),'ś','s'),
+             'ź','z'),'ż','z') AS s
+      FROM t)
+    SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(s, '\\s*-\\s*', '-', 'g'),
+                               '\\s+', ' ', 'g')) AS city_key
+    FROM folded
+    """,
+)
+def q45_city_key(spark, sf_dir):
+    """F3: normalize-for-match (cities_rename.py:23-60) — unicode-dash fold,
+    diacritic strip with the manual ł→l fix-up, space normalization. The J6
+    dim-join key builder."""
+    from realestate_scraper_spark.functions.textnorm import city_key_expr
+
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _KEY_NAMES]),
+        (F.col("p_partkey") % 8 + 1).cast("int"),
+    )
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", city_key_expr(name).alias("city_key")
+    )
 
 
 # --------------------------------------------------------------------- q23

@@ -23,6 +23,10 @@ STATUS_PENDING = "PENDING"
 STATUS_FETCHED = "FETCHED"
 STATUS_FAILED = "FAILED"
 STATUS_DONE = "DONE"
+# Permanently robots-blocked — distinct from FAILED so retry passes never
+# re-enqueue URLs that can only re-fail (reference treats robots as a hard
+# skip; ADVICE r1: don't collapse ROBOTS into FAILED).
+STATUS_ROBOTS = "ROBOTS"
 
 FRONTIER_SCHEMA = T.StructType(
     [

@@ -24,6 +24,9 @@ Adversarial rows (deterministic by offer ordinal):
                       displayed ppm2 present the engine must back-solve
                       area = price/ppm2 (the `(ar is None)` branch of
                       morizon.py:591-593), NOT quarantine as incomplete
+  - ord %% 43 == 31 → year_built=1650, outside pydantic's [1800, now+1]
+                      range (validate.py:28) → the WHOLE offer is rejected
+                      (detail.py:92 Offer(**data) raises → quarantine)
   - ord %% 19 == 11 → coords outside the PL bbox (P5 → treated as no-geo)
   - ord %%  7 == 2  → URL re-listed on a later page with shuffled query params
                       (F1 canonicalization + O1 dedupe-before-fetch)
@@ -73,6 +76,11 @@ CITIES = [
 ]
 
 KINDS = ["mieszkanie", "dom", "kawalerka"]
+
+# validate.py:35,47-50 — the reference's one array-typed field; entries carry
+# deliberate whitespace padding + empties so the trim/drop validator (F28)
+# is exercised, not just carried through.
+FEATURE_POOL = ["balkon", "piwnica", "garaż", "winda", "ogródek", "klimatyzacja"]
 
 # Per-domain politeness budget for the token-bucket tests (FIXTURES.md §2).
 CRAWL_DELAY_MS = {"otodom": 50, "morizon": 80, "gratka": 80, "trojmiasto": 100}
@@ -145,6 +153,46 @@ class SynthOffer:
             "area_m2": float(area),
             "rooms": int(self.rooms),
         }
+
+    # ---------------- validated-model fields (validate.py:25-40) ----------
+    def year_built(self) -> int | None:
+        if self.ordinal % 43 == 31:
+            return 1650  # adversarial: outside [1800, now+1] → offer rejected
+        return 1950 + self.ordinal % 70
+
+    def year_built_valid(self) -> bool:
+        yb = self.year_built()
+        return yb is None or 1800 <= yb <= 2100
+
+    def posted_at_iso(self) -> str:
+        """Deterministic timestamp `2024-01-01 + ord%360 days, ord%24 h`."""
+        import datetime as _dt
+
+        d = _dt.datetime(2024, 1, 1) + _dt.timedelta(
+            days=self.ordinal % 360, hours=self.ordinal % 24
+        )
+        return d.strftime("%Y-%m-%d %H:%M:%S")
+
+    def updated_at_iso(self) -> str:
+        import datetime as _dt
+
+        d = _dt.datetime.strptime(
+            self.posted_at_iso(), "%Y-%m-%d %H:%M:%S"
+        ) + _dt.timedelta(days=self.ordinal % 5)
+        return d.strftime("%Y-%m-%d %H:%M:%S")
+
+    def features_raw(self) -> list[str]:
+        """As rendered on the page: padded + empty entries (F28 adversary)."""
+        picked = [
+            f" {FEATURE_POOL[i]} " if i % 2 == 0 else FEATURE_POOL[i]
+            for i in range(len(FEATURE_POOL))
+            if (self.ordinal >> i) & 1
+        ]
+        return picked + ["", "  "]
+
+    def features_golden(self) -> list[str]:
+        """After the validator's strip + drop-empty (validate.py:47-50)."""
+        return [s.strip() for s in self.features_raw() if s and s.strip()]
 
     # ------------------------- wide storage fields (storage.py:13-20) ----
     def title(self) -> str:
@@ -459,7 +507,10 @@ def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
 
 # -------------------------------------------------------------- site graph
 def make_site_graph(
-    offers: list[SynthOffer], n_pages: int, flaky_mod: int | None = None
+    offers: list[SynthOffer],
+    n_pages: int,
+    flaky_mod: int | None = None,
+    retry_after_mod: int | None = None,
 ) -> list[dict]:
     """listing + offer pages; child_urls in DOM order = reference crawl order.
     Each domain also serves /robots.txt (engine bootstraps its rules table
@@ -555,8 +606,11 @@ def make_site_graph(
                     "html": render_offer_html(o),
                     "crawl_delay_ms": CRAWL_DELAY_MS[source],
                     "robots_allow": o.ordinal % 23 != 21,  # a few robots-blocked
-                    # transient-failure pages for the ST5/ST8 retry tests
+                    # hard-failure pages (ST5 retry_failed) ...
                     "flaky": flaky_mod is not None and o.ordinal % flaky_mod == 13,
+                    # ... vs Retry-After pages recovered in-run (ST8)
+                    "retry_after": retry_after_mod is not None
+                    and o.ordinal % retry_after_mod == 7,
                 }
             )
     return rows

@@ -128,6 +128,33 @@ class ParquetTable:
             out = out.unionByName(d)
         return out
 
+    def read_versioned(self, spark: SparkSession) -> "DataFrame | None":
+        """Union of committed snapshots with a ``_seq`` commit-order column.
+
+        Lets callers reconcile delta snapshots latest-wins (the sandbox
+        stand-in for Iceberg MERGE INTO / position deletes): write status
+        transitions as O(batch) delta appends, resolve on read with a window
+        over ``_seq``. Compaction (overwrite with the reconciled view) resets
+        the history to one snapshot."""
+        from pyspark.sql import functions as F
+
+        snaps = [s for s in self._manifest()["snapshots"] if s["rows"] > 0]
+        if not snaps:
+            return None
+        out = None
+        for i, s in enumerate(snaps):
+            df = spark.read.parquet(s["path"]).withColumn("_seq", F.lit(i))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def snapshot_paths(self, stages: set[str] | None = None) -> list[str]:
+        """Data paths of committed snapshots, optionally filtered by stage."""
+        return [
+            s["path"]
+            for s in self._manifest()["snapshots"]
+            if s["rows"] > 0 and (stages is None or s["stage"] in stages)
+        ]
+
     def lineage(self) -> list[dict]:
         return self._manifest()["snapshots"]
 

@@ -176,6 +176,43 @@ def test_kill_and_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, e
     assert fa == fb
 
 
+def test_resume_preserves_fetch_fail_state(spark, tmp_path):
+    """ADVICE r1: a resumed engine must restore the fetch_fail flag from the
+    checkpoint — a drained-but-failed region must NOT flip to done/no_links
+    on the resumed run's finalize; it completes only after retry_failed()."""
+    from realestate_scraper_spark.sources.synth import (
+        listing_url,
+        make_offers,
+        make_site_graph,
+    )
+
+    offers = make_offers(seed=42, n_pages=2, cards_per_page=5)
+    graph = make_site_graph(offers, n_pages=2)
+    broken = listing_url("morizon", 2)
+    for row in graph:
+        if row["url"] == broken:
+            row["flaky"] = True
+
+    run_dir = str(tmp_path / "rff")
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=8)
+    cp = {r["source"]: r.asDict() for r in eng.checkpoint_df().collect()}
+    assert cp["morizon"]["stop_reason"] == "fetch_fail"
+
+    eng2 = CrawlEngine.resume(spark, run_dir, graph, n_salts=2)
+    eng2.run(max_rounds=8)  # nothing pending — must not stamp done/no_links
+    cp = {r["source"]: r.asDict() for r in eng2.checkpoint_df().collect()}
+    assert cp["morizon"]["stop_reason"] == "fetch_fail"
+    assert not cp["morizon"]["done"]
+
+    eng2.retry_failed()
+    eng2.run(max_rounds=8)
+    cp = {r["source"]: r.asDict() for r in eng2.checkpoint_df().collect()}
+    assert cp["morizon"]["done"]
+    assert cp["morizon"]["last_page_done"] == 2
+
+
 def test_missing_area_backsolved_not_quarantined(engine_run, corpus):
     """F18 `(ar is None)` branch (morizon.py:591-593): offers whose page
     shows price + ppm2 but NO area must back-solve area = price/ppm2 and

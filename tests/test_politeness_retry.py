@@ -125,8 +125,65 @@ def test_politeness_schedule_respects_budget(spark, tmp_path):
             assert b - a >= budget - 1e-6, (shard, a, b, budget)
 
 
+def test_retry_after_recovered_in_run_no_manual_retry(spark, tmp_path):
+    """ST8: Retry-After (429/503) pages re-enter via retry_at and complete
+    within the SAME run — zero retry_failed() calls (the engine twin of the
+    reference's in-client sleep+retry, scrapper/core/http.py:69-76)."""
+    offers = make_offers(seed=42, n_pages=3, cards_per_page=8)
+    graph = make_site_graph(offers, n_pages=3, retry_after_mod=29)
+    affected = [o for o in offers if o.ordinal % 29 == 7]
+    assert affected, "retry-after case vacuous — widen the corpus"
+
+    eng = CrawlEngine(spark, str(tmp_path / "ra"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=15)
+
+    fr = eng.frontier()
+    assert fr.filter(F.col("status") == "FAILED").count() == 0
+    # the in-run retry is recorded in attempts
+    assert fr.filter(F.col("attempts") > 0).count() >= len(affected)
+    got_ids = {r["offer_id"] for r in eng.offers().collect()}
+    for o in affected:
+        if o.golden_row() is not None and o.ordinal % 23 != 21:
+            assert o.offer_id in got_ids, o.offer_id
+
+
+def test_no_frontier_row_collects(spark, tmp_path, monkeypatch):
+    """Scale gate: neither resume() nor the round loop may collect frontier
+    ROWS to the driver — only aggregates / metadata-scale sets (pending
+    listing-page numbers). Counts every DataFrame.collect() result while a
+    resumed crawl completes and asserts all are far below frontier size."""
+    offers = make_offers(seed=42, n_pages=4, cards_per_page=8)
+    graph = make_site_graph(offers, n_pages=4)
+    run_dir = str(tmp_path / "nc")
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=2)  # leave work pending
+
+    sizes: list[int] = []
+    # patch the CONCRETE class (pyspark 4 splits classic/connect DataFrames;
+    # instances override the pyspark.sql.DataFrame base method)
+    df_cls = type(spark.range(1))
+    orig = df_cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", spy)
+    eng2 = CrawlEngine.resume(spark, run_dir, graph, n_salts=2)
+    eng2.run(max_rounds=20)
+    monkeypatch.setattr(df_cls, "collect", orig)
+
+    n_frontier = eng2.frontier().count()
+    assert n_frontier > 150, "corpus too small for the bound to mean anything"
+    assert sizes, "no aggregates collected?"
+    assert max(sizes) <= 64, f"driver-side collect of {max(sizes)} rows"
+
+
 def test_retry_rounds_recover_transient_failures(spark, tmp_path):
-    """ST5/ST8: flaky pages fail on attempt 0, the retry round re-enqueues
+    """ST5: hard-flaky pages fail on attempt 0, the retry round re-enqueues
     them with attempts+1 and the second pass completes the crawl."""
     offers = make_offers(seed=42, n_pages=3, cards_per_page=8)
     graph = make_site_graph(offers, n_pages=3, flaky_mod=29)
