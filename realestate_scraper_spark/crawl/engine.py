@@ -141,8 +141,10 @@ class CrawlEngine:
         )
         self.bloom = ShardedBloom(fpp=bloom_fpp)
         # cached PENDING working set (full frontier-schema rows); None until
-        # seed()/resume(). Rebuilt per round from O(batch) unions.
+        # seed()/resume(). Rebuilt per round from O(batch) unions; lineage
+        # cut (localCheckpoint) every few rounds.
         self._pending: DataFrame | None = None
+        self._rounds_since_cut = 0
         # per-source streak of consecutive listing pages with zero new offers
         self._no_new_streak: dict[str, int] = {}
         self._stopped: dict[str, str] = {}  # source → stop_reason
@@ -526,24 +528,35 @@ class CrawlEngine:
         # ---- frontier transitions as an O(batch) UPDATE DELTA (latest-wins
         #      on read) — replaces the full-frontier join + rewrite.
         updates = self._status_updates(fetched)
-        self.t_frontier.append(
+        upd_n = self.t_frontier.append(
             self._coalesced(updates.select(*FRONTIER_COLS)),
             round_idx=self.round_idx,
             stage="update",
         )
 
-        # ---- next working set: O(batch) unions, lineage cut per round
-        requeues = updates.filter(F.col("status") == STATUS_PENDING)
-        nxt = leftover.unionByName(requeues)
+        # ---- next working set: O(batch) unions whose roots are all ON DISK
+        # (previous checkpoint + this round's delta parquet), so the lazy
+        # plan is recomputable without the unpersisted fetch; lineage is cut
+        # every few rounds instead of paying a materialization job per round.
+        nxt = leftover
+        if upd_n:
+            requeues = self.spark.read.parquet(
+                self.t_frontier.snapshot_paths()[-1]
+            ).filter(F.col("status") == STATUS_PENDING)
+            nxt = nxt.unionByName(requeues.select(*FRONTIER_COLS))
         if new_df is not None:
-            nxt = nxt.unionByName(new_df)
-        prev = self._pending
-        self._pending = nxt.select(*FRONTIER_COLS).localCheckpoint()
-        if prev is not None:
+            nxt = nxt.unionByName(new_df.select(*FRONTIER_COLS))
+        self._rounds_since_cut += 1
+        if self._rounds_since_cut >= 4:
+            prev = self._pending
+            self._pending = nxt.select(*FRONTIER_COLS).localCheckpoint()
+            self._rounds_since_cut = 0
             try:
                 prev.unpersist()
             except Exception:
                 pass
+        else:
+            self._pending = nxt.select(*FRONTIER_COLS)
         self.bloom.save(self.bloom_path)
 
         # ---- stop rules (A5 no-new streak): a source with k listing pages
@@ -772,6 +785,7 @@ class CrawlEngine:
         from realestate_scraper_spark.functions.images import (
             IMAGE_META_FIELDS,
             decode_meta_batches,
+            magic_sniff_expr,
         )
 
         photos = self.photos().filter(F.col("image_id").isNotNull())
@@ -779,6 +793,24 @@ class CrawlEngine:
         # present; otherwise falls back to the owning offer id.
         linked = photos.join(
             images_input.select("image_id", "bytes"), "image_id", "inner"
+        )
+        # S4/F21 pre-gate, JVM-side: the HEAD/Content-Type check of the
+        # reference (images.py:54-58) — bytes whose magic matches no allowed
+        # format are quarantined BEFORE any Arrow transfer / Python decode
+        # (at 100 TB this is what keeps HTML-pretending-to-be-JPEG out of
+        # the expensive stage).
+        sniffed = linked.withColumn(
+            "sniffed_fmt", magic_sniff_expr(F.col("bytes"))
+        )
+        bad = sniffed.filter(F.col("sniffed_fmt").isNull()).select(
+            "image_id", F.lit("mime_mismatch").alias("reject_reason")
+        )
+        self.t_images_quarantine = ParquetTable(self.run_dir, "images_quarantine")
+        self.t_images_quarantine.overwrite(
+            self._coalesced(bad), round_idx=self.round_idx, stage="img_quarantine"
+        )
+        linked = sniffed.filter(F.col("sniffed_fmt").isNotNull()).drop(
+            "sniffed_fmt"
         )
         meta = (
             linked.select("image_id", "bytes")
@@ -843,10 +875,12 @@ class CrawlEngine:
         )
 
     def offers_wide(self) -> DataFrame | None:
-        """The 20-column wide storage variant (scrapper/core/storage.py:13-20):
-        canonical 11 + title/district/street/floor/floors/market_type/
-        property_type + first/last_seen (as crawl rounds), same latest-wins
-        merge as offers()."""
+        """The wide storage variant (scrapper/core/storage.py:13-20 plus the
+        validated-model breadth of validate.py:25-40): canonical 11 +
+        title/district/street/floor/floors/market_type/property_type +
+        year_built, posted_at/updated_at (F11/F12 cascade), the F28
+        ``features`` array, and first/last_seen (as crawl rounds) — same
+        latest-wins merge as offers()."""
         base = self.offers()
         if base is None:
             return None
@@ -865,6 +899,10 @@ class CrawlEngine:
                 F.col("raw_floors").alias("floors"),
                 F.col("raw_market").alias("market_type"),
                 F.col("raw_ptype").alias("property_type"),
+                "year_built",
+                "posted_at",
+                "updated_at",
+                "features",
             )
         )
         return base.join(wide, "offer_id")

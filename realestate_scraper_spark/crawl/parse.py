@@ -31,9 +31,12 @@ OFFER_FIELDS = (
     "url string, url_canon string, source string, page_idx int, slot int, "
     "sub_slot int, parse_ok boolean, raw_price double, raw_currency string, "
     "raw_ppm2 double, raw_area double, raw_rooms int, raw_city string, "
-    "raw_lat double, raw_lon double, photo_urls array<string>, "
+    "raw_lat double, raw_lon double, "
+    "photo_urls array<struct<url: string, w: int>>, "
     "raw_title string, raw_district string, raw_street string, "
-    "raw_floor int, raw_floors int, raw_market string, raw_ptype string"
+    "raw_floor int, raw_floors int, raw_market string, raw_ptype string, "
+    "raw_posted string, raw_updated string, raw_year int, "
+    "raw_features array<string>"
 )
 
 _HREF_RE = re.compile(r'<a href="([^"]+)"')
@@ -57,6 +60,17 @@ _STREET_RE = re.compile(r'<span class="street">([^<]*)</span>')
 _FLOOR_RE = re.compile(r'<span class="floor">(\d+)/(\d+)</span>')
 _MARKET_RE = re.compile(r'<span class="market">([^<]*)</span>')
 _PTYPE_RE = re.compile(r'<span class="ptype">([^<]*)</span>')
+# F16 (morizon.py:26-30): hydrated map bounds — NE marker, SW marker; the
+# offer point is the bbox CENTRE (morizon.py:115-138)
+_HYDRATED_BOUNDS_RE = re.compile(
+    r'\{"latitude":\d+,"longitude":\d+\}\s*,\s*(\d{2}\.\d+)\s*,\s*(\d{2}\.\d+)'
+    r'\s*,\s*\{"latitude":\d+,"longitude":\d+\}\s*,\s*(\d{2}\.\d+)\s*,\s*(\d{2}\.\d+)',
+    re.I,
+)
+_POSTED_RE = re.compile(r'<span class="posted">([^<]*)</span>')
+_UPDATED_RE = re.compile(r'<span class="updated">([^<]*)</span>')
+_YEAR_RE = re.compile(r'<span class="year">(-?\d+)</span>')
+_FEATURE_RE = re.compile(r'<li class="feature">([^<]*)</li>')
 _NUM_CLEAN = re.compile(r"[\s ]")
 
 
@@ -132,7 +146,11 @@ def _from_ldjson(html: str, out: dict) -> None:
     _fill(out, "area", fs.get("value"))
     _fill(out, "rooms", d.get("numberOfRooms"))
     imgs = d.get("image") or []
-    _fill(out, "photos", [u if isinstance(u, str) else u.get("url") for u in imgs] or None)
+    _fill(
+        out,
+        "photos",
+        [(u if isinstance(u, str) else u.get("url"), None) for u in imgs] or None,
+    )
     _fill(out, "title", d.get("name"))
     _fill(out, "district", d.get("district"))
     _fill(out, "street", d.get("street"))
@@ -140,6 +158,10 @@ def _from_ldjson(html: str, out: dict) -> None:
     _fill(out, "floors", d.get("floors"))
     _fill(out, "market", d.get("marketType"))
     _fill(out, "ptype", d.get("propertyType"))
+    _fill(out, "posted", d.get("datePosted"))
+    _fill(out, "updated", d.get("dateUpdated"))
+    _fill(out, "year", d.get("yearBuilt"))
+    _fill(out, "features", d.get("features"))
 
 
 def _from_nextdata(html: str, out: dict) -> None:
@@ -160,7 +182,12 @@ def _from_nextdata(html: str, out: dict) -> None:
     loc = (ad.get("location") or {}).get("coordinates") or {}
     _fill(out, "lat", loc.get("latitude"))
     _fill(out, "lon", loc.get("longitude"))
-    _fill(out, "photos", [i.get("large") for i in ad.get("images") or [] if i.get("large")] or None)
+    _fill(
+        out,
+        "photos",
+        [(i.get("large"), None) for i in ad.get("images") or [] if i.get("large")]
+        or None,
+    )
     _fill(out, "currency", "PLN" if tgt.get("Price") is not None else None)
     _fill(out, "title", tgt.get("Title"))
     _fill(out, "district", tgt.get("District"))
@@ -169,17 +196,23 @@ def _from_nextdata(html: str, out: dict) -> None:
     _fill(out, "floors", tgt.get("Building_floors_num"))
     _fill(out, "market", tgt.get("MarketType"))
     _fill(out, "ptype", tgt.get("ProperType"))
+    _fill(out, "posted", tgt.get("DatePosted"))
+    _fill(out, "updated", tgt.get("DateUpdated"))
+    _fill(out, "year", tgt.get("Build_year"))
+    _fill(out, "features", tgt.get("Features"))
 
 
-def _parse_srcset(srcset: str) -> str | None:
-    """F27/W4: pick the max-width variant URL from a srcset list."""
+def _parse_srcset(srcset: str) -> tuple[str, int] | None:
+    """F27/W4: pick the max-width variant (url, width) from a srcset list.
+    The width travels into the photos table (validate.py:58-60 keeps
+    width/height on the Photo model; round 1 discarded it)."""
     best_url, best_w = None, -1
     for part in srcset.split(","):
         part = part.strip()
         m = re.match(r"(\S+)\s+(\d+)w", part)
         if m and int(m.group(2)) > best_w:
             best_url, best_w = m.group(1), int(m.group(2))
-    return best_url
+    return (best_url, best_w) if best_url is not None else None
 
 
 def _from_css(html: str, out: dict) -> None:
@@ -214,14 +247,29 @@ def _from_css(html: str, out: dict) -> None:
     if m:
         _fill(out, "lat", float(m.group(1)))
         _fill(out, "lon", float(m.group(2)))
+    if out.get("lat") is None:
+        # F16 fallback rung: centre of the hydrated map bounds, with the
+        # reference's PL-plausibility check + defensive axis swap
+        # (morizon.py:115-138)
+        m = _HYDRATED_BOUNDS_RE.search(html)
+        if m:
+            la = (float(m.group(1)) + float(m.group(3))) / 2.0
+            lo = (float(m.group(2)) + float(m.group(4))) / 2.0
+            if 49.0 <= la <= 54.9 and 14.0 <= lo <= 24.5:
+                _fill(out, "lat", la)
+                _fill(out, "lon", lo)
+            elif 49.0 <= lo <= 54.9 and 14.0 <= la <= 24.5:
+                _fill(out, "lat", lo)
+                _fill(out, "lon", la)
     photos = [
-        u for u in (_parse_srcset(s) for s in _SRCSET_RE.findall(html)) if u
+        p for p in (_parse_srcset(s) for s in _SRCSET_RE.findall(html)) if p
     ]
     if photos:
         _fill(out, "photos", photos)
     for rex, key in (
         (_TITLE_RE, "title"), (_DISTRICT_RE, "district"),
         (_STREET_RE, "street"), (_MARKET_RE, "market"), (_PTYPE_RE, "ptype"),
+        (_POSTED_RE, "posted"), (_UPDATED_RE, "updated"),
     ):
         m = rex.search(html)
         if m:
@@ -230,6 +278,12 @@ def _from_css(html: str, out: dict) -> None:
     if m:
         _fill(out, "floor", int(m.group(1)))
         _fill(out, "floors", int(m.group(2)))
+    m = _YEAR_RE.search(html)
+    if m:
+        _fill(out, "year", int(m.group(1)))
+    feats = _FEATURE_RE.findall(html)
+    if feats:
+        _fill(out, "features", feats)
 
 
 def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,7 +297,8 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "parse_ok", "raw_price", "raw_currency", "raw_ppm2", "raw_area",
                 "raw_rooms", "raw_city", "raw_lat", "raw_lon", "photo_urls",
                 "raw_title", "raw_district", "raw_street", "raw_floor",
-                "raw_floors", "raw_market", "raw_ptype",
+                "raw_floors", "raw_market", "raw_ptype", "raw_posted",
+                "raw_updated", "raw_year", "raw_features",
             )
         }
         for html in pdf["html"]:
@@ -275,7 +330,9 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             cols["raw_lon"].append(
                 float(get("lon")) if get("lon") is not None else None
             )
-            cols["photo_urls"].append(get("photos") or [])
+            cols["photo_urls"].append(
+                [{"url": u, "w": w} for u, w in (get("photos") or [])]
+            )
             cols["raw_title"].append(get("title"))
             cols["raw_district"].append(get("district"))
             cols["raw_street"].append(get("street"))
@@ -287,6 +344,15 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             )
             cols["raw_market"].append(get("market"))
             cols["raw_ptype"].append(get("ptype"))
+            cols["raw_posted"].append(get("posted"))
+            cols["raw_updated"].append(get("updated"))
+            cols["raw_year"].append(
+                int(get("year")) if get("year") is not None else None
+            )
+            feats = get("features")
+            cols["raw_features"].append(
+                [str(x) for x in feats] if feats is not None else None
+            )
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -312,5 +378,9 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "raw_floors": pd.Series(cols["raw_floors"], dtype="Int32"),
                 "raw_market": pd.Series(cols["raw_market"], dtype="object"),
                 "raw_ptype": pd.Series(cols["raw_ptype"], dtype="object"),
+                "raw_posted": pd.Series(cols["raw_posted"], dtype="object"),
+                "raw_updated": pd.Series(cols["raw_updated"], dtype="object"),
+                "raw_year": pd.Series(cols["raw_year"], dtype="Int32"),
+                "raw_features": pd.Series(cols["raw_features"], dtype="object"),
             }
         )

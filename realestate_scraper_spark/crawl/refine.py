@@ -69,6 +69,44 @@ def city_from_slug(url: Column) -> Column:
     )
 
 
+def timestamp_cascade(c: Column) -> Column:
+    """F11/F12: multi-format parse — ISO-T (otodom.py:210-217), Polish
+    dd.MM.yyyy with/without seconds (gratka.py:43-74), bare date. First
+    matching format wins; all-JVM try_to_timestamp coalesce."""
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd.MM.yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd.MM.yyyy HH:mm")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("dd.MM.yyyy")),
+    )
+
+
+def features_clean(c: Column) -> Column:
+    """F28 (validate.py:47-50): trim every entry, drop empties — the array
+    analogue of pydantic's strip_features validator, as transform+filter."""
+    return F.filter(
+        F.transform(c, lambda x: F.trim(x)), lambda x: x != F.lit("")
+    )
+
+
+def range_ok_expr() -> Column:
+    """P3: pydantic's numeric range constraints (validate.py:25-28) as one
+    predicate — a violation rejects the WHOLE offer (detail.py:92 raises).
+    rooms ∈ [0,20], floor ∈ [-2,200], floors ∈ [0,200],
+    year_built ∈ [1800, year(now)+1]."""
+    def ok(col, lo, hi):
+        return col.isNull() | col.between(lo, hi)
+
+    return (
+        ok(F.col("raw_rooms"), 0, 20)
+        & ok(F.col("raw_floor"), -2, 200)
+        & ok(F.col("raw_floors"), 0, 200)
+        & ok(F.col("raw_year"), 1800, F.year(F.current_date()) + 1)
+    )
+
+
 def refined(parsed: DataFrame) -> DataFrame:
     """parsed raw fields → canonical columns + is_valid + reject_reason.
 
@@ -121,16 +159,31 @@ def refined(parsed: DataFrame) -> DataFrame:
         .withColumn("offer_id", offer_id_expr(F.col("url"), F.col("source")))
         # displayed-or-derived ppm2 travels as-is (see fill-in above)
         .withColumn("price_per_m2", ppm2)
+        # validated-model breadth (validate.py:25-40): timestamps through
+        # the F11/F12 cascade, year_built, trimmed features array (F28)
+        .withColumn("posted_at", timestamp_cascade(F.col("raw_posted")))
+        .withColumn("updated_at", timestamp_cascade(F.col("raw_updated")))
+        .withColumn("year_built", F.col("raw_year").cast("int"))
+        .withColumn(
+            "features",
+            F.when(
+                F.col("raw_features").isNotNull(),
+                features_clean(F.col("raw_features")),
+            ),
+        )
+        .withColumn("range_ok", range_ok_expr())
     )
     required = [
         "price_amount", "city", "area_m2", "rooms", "lat", "lon", "offer_id",
     ]
-    complete = F.lit(True)
+    complete = F.col("range_ok")
     for c in required:
         complete = complete & F.col(c).isNotNull()
     complete = complete & (F.col("city") != "") & (F.col("offer_id") != "")
     reason = (
         F.when(~F.col("parse_ok"), "parse_fail")
+        # pydantic raises before the completeness gate runs (detail.py:92,94)
+        .when(~F.col("range_ok"), "range")
         .when(F.col("price_amount").isNull(), "no_price")
         .when(F.col("lat").isNull() | F.col("lon").isNull(), "no_geo")
         .when(F.col("offer_id").isNull() | (F.col("offer_id") == ""), "no_offer_id")
@@ -152,11 +205,13 @@ def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def explode_photos(parsed: DataFrame, per_offer_limit: int | None = None) -> DataFrame:
-    """photo_urls array → (offer_id, seq, url, image_id) rows.
+    """photo structs → (offer_id, seq, url, image_id, width, height) rows.
 
     W1: seq = gallery position (posexplode keeps array order — the same
     0,1,2… numbering the reference assigns at otodom.py:723).
     W2: per-offer limit applied on seq (photos.py:71-75).
+    W4: the srcset best-variant WIDTH lands in the table (validate.py:58-60
+    Photo.width); height is null until the decode stage measures it.
     F5-style image-id extraction from the URL for the images-table join.
     """
     out = (
@@ -165,17 +220,19 @@ def explode_photos(parsed: DataFrame, per_offer_limit: int | None = None) -> Dat
         )
         .select(
             "offer_id",
-            F.posexplode("photo_urls").alias("seq", "photo_url"),
+            F.posexplode("photo_urls").alias("seq", "photo"),
         )
+        .withColumn("url", F.col("photo.url"))
+        .withColumn("width", F.col("photo.w"))
+        .withColumn("height", F.lit(None).cast("int"))
         .withColumn(
-            "image_id", F.regexp_extract("photo_url", r"(img\d{6}_\d+)", 1)
+            "image_id", F.regexp_extract("url", r"(img\d{6}_\d+)", 1)
         )
         .withColumn(
             "image_id",
             F.when(F.col("image_id") != "", F.col("image_id")),
         )
-        .withColumnRenamed("photo_url", "url")
     )
     if per_offer_limit is not None:
         out = out.filter(F.col("seq") < per_offer_limit)
-    return out.select("offer_id", "seq", "url", "image_id")
+    return out.select("offer_id", "seq", "url", "image_id", "width", "height")

@@ -154,6 +154,22 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     return _DECODERS[fmt](data)
 
 
+def magic_sniff_expr(b):
+    """F21/S4 as a PURE EXPRESSION over the binary column — the pre-GET
+    HEAD/MIME check (scrapper/core/http.py:92-103, images.py:54-58) mapped
+    to the in-table world: rows whose leading bytes match no allowed format
+    never enter the (Python) decode stage. JVM-side substring compares on
+    binary, whole-stage codegen, zero Arrow transfer for junk bytes."""
+    from pyspark.sql import functions as F
+
+    jpeg = F.substring(b, 1, 3) == F.lit(MAGIC_JPEG)
+    png = F.substring(b, 1, 8) == F.lit(MAGIC_PNG)
+    webp = (F.substring(b, 1, 4) == F.lit(MAGIC_RIFF)) & (
+        F.substring(b, 9, 4) == F.lit(b"WEBP")
+    )
+    return F.when(jpeg, "jpeg").when(png, "png").when(webp, "webp")
+
+
 def sniff_format(data: bytes) -> str | None:
     """Magic-byte format sniff — F21, mirrors scrapper/core/images.py:29-37."""
     if data.startswith(MAGIC_JPEG):

@@ -550,13 +550,13 @@ def q17_range_delete(spark, sf_dir):
 )
 def q18_freshness(spark, sf_dir):
     """P10/F13: freshness filter (last-N-days) — partition-pruning predicate
-    at scale (morizon.py:652-659)."""
+    at scale (morizon.py:652-659). The cutoff is a broadcast 1-row aggregate
+    crossJoin, keeping the plan whole (no eager driver collect mid-plan)."""
     o = t(spark, sf_dir, "orders")
-    cutoff = o.agg(
-        F.date_sub(F.max("o_orderdate"), 30).alias("cut")
-    ).collect()[0]["cut"]
+    cutoff = o.agg(F.date_sub(F.max("o_orderdate"), 30).alias("_cut"))
     return (
-        o.filter(F.col("o_orderdate") >= F.lit(cutoff))
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("_cut"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_recent"))
     )
@@ -992,6 +992,110 @@ def q29_priority_coalesce(spark, sf_dir):
             F.when(F.col("p_partkey") % 2 == 0, F.lit("district+city")),
             F.lit("city"),
         ).alias("geocode_query"),
+    )
+
+
+# --------------------------------------------------------------------- q47
+_RG_CITIES = [
+    ("Gdansk", 54.35, 18.65), ("Warszawa", 52.23, 21.01),
+    ("Krakow", 50.06, 19.94), ("Wroclaw", 51.11, 17.03),
+    ("Poznan", 52.41, 16.93), ("Gdynia", 54.52, 18.53),
+    ("Sopot", 54.44, 18.56), ("Lodz", 51.76, 19.46),
+]
+_RG_CITY_SQL = ", ".join(f"('{n}', {la}, {lo})" for n, la, lo in _RG_CITIES)
+
+
+@_reg(
+    "q47_reverse_geocode",
+    f"""
+    WITH dim(city, dlat, dlon) AS (VALUES {_RG_CITY_SQL}),
+    pts AS (
+      SELECT c_custkey,
+             ['Gdansk','Warszawa','Krakow','Wroclaw','Poznan','Gdynia',
+              'Sopot','Lodz'][CAST(c_custkey % 8 AS INT) + 1] AS true_city,
+             (c_custkey % 41 - 20) / 1000.0 AS dlat_j,
+             (c_custkey % 37 - 18) / 1000.0 AS dlon_j
+      FROM customer),
+    pts2 AS (
+      SELECT p.c_custkey,
+             d.dlat + p.dlat_j AS lat, d.dlon + p.dlon_j AS lon
+      FROM pts p JOIN dim d ON p.true_city = d.city)
+    SELECT p.c_custkey,
+           ARG_MIN(d.city,
+             2 * 6371008.8 * ASIN(SQRT(
+               POW(SIN(RADIANS(d.dlat - p.lat) / 2), 2) +
+               COS(RADIANS(p.lat)) * COS(RADIANS(d.dlat)) *
+               POW(SIN(RADIANS(d.dlon - p.lon) / 2), 2)))) AS rg_city
+    FROM pts2 p CROSS JOIN dim d
+    GROUP BY p.c_custkey
+    """,
+)
+def q47_reverse_geocode(spark, sf_dir):
+    """F29: offline reverse geocode (trojmiasto.py:343-354) — nearest dim
+    city per coordinate via the broadcast coarse-cell kernel join
+    (operators/spatial.reverse_geocode). Points are jittered ≤ ~2 km off
+    their true city so the bounded-radius kernel answer equals the oracle's
+    exact global arg_min."""
+    from realestate_scraper_spark.operators.spatial import reverse_geocode
+
+    dim = spark.createDataFrame(_RG_CITIES, "city string, lat double, lon double")
+    c = t(spark, sf_dir, "customer")
+    true_city = F.element_at(
+        F.array(*[F.lit(n) for n, _, _ in _RG_CITIES]),
+        (F.col("c_custkey") % 8 + 1).cast("int"),
+    )
+    pts = (
+        c.select("c_custkey", true_city.alias("true_city"))
+        .join(F.broadcast(dim), F.col("true_city") == F.col("city"))
+        .select(
+            "c_custkey",
+            (F.col("lat") + (F.col("c_custkey") % 41 - 20) / 1000.0).alias("plat"),
+            (F.col("lon") + (F.col("c_custkey") % 37 - 18) / 1000.0).alias("plon"),
+        )
+        .withColumnRenamed("plat", "lat")
+        .withColumnRenamed("plon", "lon")
+    )
+    return reverse_geocode(pts, dim).select("c_custkey", "rg_city")
+
+
+# --------------------------------------------------------------------- q46
+@_reg(
+    "q46_features_trim",
+    """
+    SELECT p_partkey,
+           array_to_string(
+             list_filter(
+               list_transform(
+                 ['  ' || p_type || ' ', '', p_brand, '  ', p_name],
+                 x -> trim(x)),
+               x -> x <> ''), '|') AS features,
+           CAST(len(list_filter(
+             list_transform(
+               ['  ' || p_type || ' ', '', p_brand, '  ', p_name],
+               x -> trim(x)),
+             x -> x <> '')) AS BIGINT) AS n_features
+    FROM part
+    """,
+)
+def q46_features_trim(spark, sf_dir):
+    """F28 (validate.py:35,47-50): the reference's one ARRAY-typed field —
+    trim every entry, drop empties, order preserved — as transform+filter
+    over array<string> (crawl/refine.features_clean). Joined to a string for
+    the hash compare (the driver hashes scalars)."""
+    from realestate_scraper_spark.crawl.refine import features_clean
+
+    raw = F.array(
+        F.concat(F.lit("  "), F.col("p_type"), F.lit(" ")),
+        F.lit(""),
+        F.col("p_brand"),
+        F.lit("  "),
+        F.col("p_name"),
+    )
+    clean = features_clean(raw)
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_join(clean, "|").alias("features"),
+        F.size(clean).cast("long").alias("n_features"),
     )
 
 

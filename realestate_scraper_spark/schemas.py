@@ -90,7 +90,9 @@ OFFERS_SCHEMA = T.StructType(
     ]
 )
 
-# Wide storage variant — scrapper/core/storage.py:13-20 adds these.
+# Wide storage variant — scrapper/core/storage.py:13-20 plus the validated
+# pydantic-model breadth (validate.py:25-40: year_built, posted_at/updated_at,
+# the list-typed features field).
 OFFERS_WIDE_EXTRA = [
     "title",
     "district",
@@ -99,6 +101,10 @@ OFFERS_WIDE_EXTRA = [
     "floors",
     "market_type",
     "property_type",
+    "year_built",
+    "posted_at",
+    "updated_at",
+    "features",
     "first_seen",
     "last_seen",
 ]
@@ -110,6 +116,10 @@ PHOTOS_SCHEMA = T.StructType(
         T.StructField("seq", T.IntegerType(), False),  # 0..k-1 gallery order (W1)
         T.StructField("url", T.StringType(), False),
         T.StructField("image_id", T.StringType(), True),
+        # srcset best-variant width (W4); height measured at decode time
+        # (scrapper/core/validate.py:58-60 Photo.width/height)
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
     ]
 )
 

@@ -27,6 +27,9 @@ Adversarial rows (deterministic by offer ordinal):
   - ord %% 43 == 31 → year_built=1650, outside pydantic's [1800, now+1]
                       range (validate.py:28) → the WHOLE offer is rejected
                       (detail.py:92 Offer(**data) raises → quarantine)
+  - ord %% 47 == 9 (css variant) → no geo meta; coordinates only as
+                      hydrated map bounds whose CENTRE is the point (F16,
+                      morizon.py:115-138)
   - ord %% 19 == 11 → coords outside the PL bbox (P5 → treated as no-geo)
   - ord %%  7 == 2  → URL re-listed on a later page with shuffled query params
                       (F1 canonicalization + O1 dedupe-before-fetch)
@@ -138,6 +141,10 @@ class SynthOffer:
             if area is None or abs(area - ar_calc) / ar_calc > 0.08:
                 # F18 back-solve incl. the missing-area branch
                 area = _round2_half_up(ar_calc)
+        if not self.year_built_valid():
+            # pydantic range violation rejects the WHOLE offer
+            # (detail.py:92 Offer(**data) raises → quarantine)
+            return None
         if price is None or lat is None or lon is None:
             return None  # P2 completeness gate (detail.py:21,30-31)
         return {
@@ -376,6 +383,15 @@ def _fmt_price_pl(price: float) -> str:
     return f"{s} zł"
 
 
+def _fmt_pl_dt(iso: str, seconds: bool = False) -> str:
+    """ISO `YYYY-mm-dd HH:MM:SS` → Polish `dd.mm.YYYY HH:MM[:SS]` (F12,
+    gratka.py:43-74 date shapes)."""
+    import datetime as _dt
+
+    d = _dt.datetime.strptime(iso, "%Y-%m-%d %H:%M:%S")
+    return d.strftime("%d.%m.%Y %H:%M:%S" if seconds else "%d.%m.%Y %H:%M")
+
+
 def render_offer_html(o: SynthOffer) -> str:
     lat = None if o.missing_geo else o.lat
     lon = None if o.missing_geo else o.lon
@@ -399,6 +415,11 @@ def render_offer_html(o: SynthOffer) -> str:
             "floors": o.floors(),
             "marketType": o.market_type(),
             "propertyType": o.property_type(),
+            # F11 ISO-T format; F28 features with padding/empties as-is
+            "datePosted": o.posted_at_iso().replace(" ", "T"),
+            "dateUpdated": o.updated_at_iso().replace(" ", "T"),
+            "yearBuilt": o.year_built(),
+            "features": o.features_raw(),
         }
         body = (
             f'<script type="application/ld+json">{json.dumps(ld)}</script>'
@@ -424,6 +445,11 @@ def render_offer_html(o: SynthOffer) -> str:
                             "Building_floors_num": o.floors(),
                             "MarketType": o.market_type(),
                             "ProperType": o.property_type(),
+                            # F12 Polish dd.mm.yyyy HH:MM format
+                            "DatePosted": _fmt_pl_dt(o.posted_at_iso()),
+                            "DateUpdated": _fmt_pl_dt(o.updated_at_iso()),
+                            "Build_year": o.year_built(),
+                            "Features": o.features_raw(),
                         },
                         "location": (
                             None
@@ -446,7 +472,19 @@ def render_offer_html(o: SynthOffer) -> str:
             f'<img srcset="{u}?w=400 400w, {u}?w=800 800w, {u}?w=1200 1200w">'
             for u in imgs
         )
-        geo_meta = "" if lat is None else f'<meta name="geo" content="{lat};{lon}">'
+        if lat is None:
+            geo_meta = ""
+        elif o.ordinal % 47 == 9:
+            # F16 adversary: NO geo meta — coordinates recoverable only as
+            # the centre of hydrated map bounds (morizon.py:26-30,115-138)
+            geo_meta = (
+                f'<script>{{"latitude":17,"longitude":18}}, '
+                f"{lat + 0.01:.6f}, {lon - 0.01:.6f}, "
+                f'{{"latitude":19,"longitude":20}}, '
+                f"{lat - 0.01:.6f}, {lon + 0.01:.6f}</script>"
+            )
+        else:
+            geo_meta = f'<meta name="geo" content="{lat};{lon}">'
         ppm2_txt = (
             ""
             if o.inquiry_price
@@ -471,6 +509,9 @@ def render_offer_html(o: SynthOffer) -> str:
         address = (
             "" if o.ordinal % 31 == 17 else f'<div class="address">{o.city}</div>'
         )
+        feats = "".join(
+            f'<li class="feature">{f}</li>' for f in o.features_raw()
+        )
         wide = (
             f'<h1 class="title">{o.title()}</h1>'
             f'<span class="district">{o.district()}</span>'
@@ -478,6 +519,10 @@ def render_offer_html(o: SynthOffer) -> str:
             f'<span class="floor">{o.floor()}/{o.floors()}</span>'
             f'<span class="market">{o.market_type()}</span>'
             f'<span class="ptype">{o.property_type()}</span>'
+            f'<span class="posted">{_fmt_pl_dt(o.posted_at_iso(), seconds=True)}</span>'
+            f'<span class="updated">{_fmt_pl_dt(o.updated_at_iso(), seconds=True)}</span>'
+            f'<span class="year">{o.year_built()}</span>'
+            f'<ul class="features">{feats}</ul>'
         )
         body = (
             f'<strong class="price">{price_txt}</strong>'

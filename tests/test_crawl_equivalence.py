@@ -102,7 +102,11 @@ def test_rejections_quarantined_not_dropped(engine_run, corpus, spark):
             continue
         if o.golden_row() is None:
             assert o.url in q, f"rejected offer {o.offer_id} missing from quarantine"
-            if o.inquiry_price:
+            # precedence mirrors the reference: pydantic raises (range)
+            # BEFORE the completeness gate (detail.py:92 then :94)
+            if not o.year_built_valid():
+                assert q[o.url] == "range"
+            elif o.inquiry_price:
                 assert q[o.url] == "no_price"
             elif o.missing_geo or o.out_of_bbox:
                 assert q[o.url] == "no_geo"
@@ -123,6 +127,13 @@ def test_photos_match_golden(engine_run, corpus, spark):
         rows = sorted(got.get(o.offer_id, []), key=lambda r: r["seq"])
         assert [r["seq"] for r in rows] == list(range(len(o.photo_urls))), o.offer_id
         assert [r["image_id"] for r in rows] == o.photo_image_ids, o.offer_id
+        # W4: the srcset best-variant width lands in the photos table for
+        # css pages (synth srcset is 400w/800w/1200w → 1200); JSON variants
+        # carry no width (validate.py:58-60 keeps it nullable)
+        for r in rows:
+            assert r["width"] == (1200 if o.variant == "css" else None), (
+                o.offer_id, o.variant, r["width"],
+            )
         checked += 1
     assert checked > 20
 
@@ -233,6 +244,26 @@ def test_missing_area_backsolved_not_quarantined(engine_run, corpus):
         assert row["area_m2"] == pytest.approx(g["area_m2"], abs=1e-6)
         # displayed ppm2 is KEPT, never recomputed from the corrected area
         assert row["price_per_m2"] == pytest.approx(g["price_per_m2"], abs=1e-6)
+
+
+def test_hydrated_bounds_centre_geo_fallback(engine_run, corpus):
+    """F16 (morizon.py:115-138): css pages with ord%47==9 carry coordinates
+    ONLY as hydrated map bounds; the parser must take the bbox centre."""
+    offers, _, _ = corpus
+    eng, _ = engine_run
+    affected = [
+        o
+        for o in offers
+        if o.ordinal % 47 == 9 and o.variant == "css"
+        and o.golden_row() is not None and o.ordinal % 23 != 21
+    ]
+    assert affected, "adversarial case vacuous — widen the corpus"
+    got = {r["offer_id"]: r.asDict() for r in eng.offers().collect()}
+    for o in affected:
+        row = got.get(o.offer_id)
+        assert row is not None, f"{o.offer_id} lost its bounds-only geo"
+        assert row["lat"] == pytest.approx(o.lat, abs=1e-6)
+        assert row["lon"] == pytest.approx(o.lon, abs=1e-6)
 
 
 def test_city_slug_fallback_exercised(engine_run, corpus):

@@ -40,3 +40,43 @@ def test_process_images_end_to_end(spark, tmp_path):
         assert r["fmt"] == src["fmt"], iid
         assert r["caption"] == src["caption"], iid
         assert bytes(r["bytes"]) == bytes(src["bytes"]), iid
+
+
+def test_mime_pregate_quarantines_junk_bytes(spark, tmp_path):
+    """S4/F21: bytes whose magic matches no allowed format (HTML pretending
+    to be an image) are quarantined by the JVM-side sniff BEFORE the decode
+    stage; valid rows are unaffected."""
+    offers, images, graph = build_corpus(seed=42, n_pages=2, cards_per_page=6)
+    eng = CrawlEngine(spark, str(tmp_path / "mime"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=6)
+
+    # corrupt a handful of linked images: HTML payload under an image id
+    victims = {row["image_id"] for row in images[:3]}
+    tampered = [
+        dict(row, bytes=bytearray(b"<html><body>not an image</body></html>"))
+        if row["image_id"] in victims
+        else row
+        for row in images
+    ]
+    out = eng.process_images(
+        spark.createDataFrame(tampered, schema=IMAGES_SCHEMA)
+    )
+    got_ids = {r["image_id"] for r in out.collect()}
+    assert not (got_ids & victims)
+
+    q = {
+        r["image_id"]: r["reject_reason"]
+        for r in eng.t_images_quarantine.read(spark).collect()
+    }
+    robots_blocked = {o.offer_id for o in offers if o.ordinal % 23 == 21}
+    linked_victims = {
+        iid
+        for o in offers
+        if o.offer_id not in robots_blocked
+        for iid in o.photo_image_ids
+        if iid in victims
+    }
+    assert linked_victims, "tampered images not linked by the crawl — widen"
+    for iid in linked_victims:
+        assert q.get(iid) == "mime_mismatch", iid

@@ -69,6 +69,7 @@ def test_offers_wide_schema_and_values(spark, tmp_path):
         "price_per_m2", "city", "lat", "lon", "area_m2", "rooms",
         "first_seen_round", "last_seen_round", "title", "district",
         "street", "floor", "floors", "market_type", "property_type",
+        "year_built", "posted_at", "updated_at", "features",
     }
     assert set(wide.columns) == expected_cols
     got = {r["offer_id"]: r for r in wide.collect()}
@@ -85,5 +86,33 @@ def test_offers_wide_schema_and_values(spark, tmp_path):
         assert r["floors"] == o.floors()
         assert r["market_type"] == o.market_type()
         assert r["property_type"] == o.property_type()
+        assert r["year_built"] == o.year_built(), o.offer_id
+        # F11/F12: three page variants emit three different date FORMATS
+        # (ISO-T / dd.mm.yyyy HH:MM / dd.mm.yyyy HH:MM:SS) — all must parse
+        # to the same instant. nextdata drops seconds; synth times have none.
+        assert r["posted_at"].strftime("%Y-%m-%d %H:%M:%S") == o.posted_at_iso(), (
+            o.offer_id, o.variant,
+        )
+        assert r["updated_at"].strftime("%Y-%m-%d %H:%M:%S") == o.updated_at_iso()
+        # F28: trimmed, empties dropped, order preserved
+        assert r["features"] == o.features_golden(), (o.offer_id, r["features"])
         checked[o.variant] += 1
     assert all(v > 0 for v in checked.values()), checked
+
+
+def test_year_range_violation_quarantined(spark, tmp_path):
+    """P3: pydantic range gate (validate.py:28) — year_built outside
+    [1800, now+1] rejects the WHOLE offer into quarantine with reason
+    'range' (detail.py:92 Offer(**data) raises before the completeness
+    gate runs)."""
+    offers, _, graph = build_corpus(seed=42, n_pages=4, cards_per_page=8)
+    bad = [o for o in offers if o.ordinal % 43 == 31 and o.ordinal % 23 != 21]
+    assert bad, "adversarial case vacuous — widen the corpus"
+    eng = CrawlEngine(spark, str(tmp_path / "yr"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=10)
+    got_ids = {r["offer_id"] for r in eng.offers().collect()}
+    q = {r["url"]: r["reject_reason"] for r in eng.quarantine().collect()}
+    for o in bad:
+        assert o.offer_id not in got_ids, o.offer_id
+        assert q.get(o.url) == "range", (o.offer_id, q.get(o.url))
