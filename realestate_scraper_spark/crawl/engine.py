@@ -305,6 +305,14 @@ class CrawlEngine:
                 round_idx=self.round_idx,
                 stage="compact",
             )
+            # the lazy working set referenced the just-deleted delta files —
+            # rebase it onto the compacted snapshot (disk-backed, no job)
+            self._pending = (
+                self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
+                .filter(F.col("status") == STATUS_PENDING)
+                .select(*FRONTIER_COLS)
+            )
+            self._rounds_since_cut = 0
 
     def retry_failed(self) -> int:
         """ST5 retry rounds: re-enqueue FAILED rows as PENDING with
