@@ -82,7 +82,9 @@ def main() -> None:
     # crawl rounds move small frames; wide shuffles are pure overhead there
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     t0 = time.monotonic()
-    eng = CrawlEngine(spark, run_dir, graph, n_salts=4)
+    # lookahead=4: the throughput configuration (rounds ≈ depth/4); strict
+    # reference-equivalence runs keep lookahead=0 (see engine docstring)
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=4, lookahead=4)
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=30)
     crawl_sec = time.monotonic() - t0

@@ -101,6 +101,7 @@ class CrawlEngine:
         append_coalesce: int | None = 4,
         robots_rules: dict | None = None,
         max_transient_attempts: int = 3,
+        lookahead: int = 0,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -119,6 +120,17 @@ class CrawlEngine:
         self.robots_rules = robots_rules
         # ST8: Retry-After rows re-enter until this many attempts burn out
         self.max_transient_attempts = max_transient_attempts
+        # Pagination lookahead (opt-in): each fetched listing page N also
+        # enqueues speculative pages N+1..N+lookahead by bumping the page
+        # param — rounds ≈ depth/lookahead instead of ≈ depth. Beyond-end
+        # pages come back MISSING and are treated as end-of-pagination
+        # (portals 404 past the last page), never as fetch_fail. Default 0:
+        # lookahead preserves the canonical URL-seen set and every parsed
+        # field, but may (a) fetch pages past a no_new stop the strictly
+        # sequential reference would never reach, and (b) record the OTHER
+        # spelling of a canonically-equal duplicate (relist) when rounds
+        # interleave — so the strict reference-equivalence mode keeps it off.
+        self.lookahead = lookahead
 
         os.makedirs(run_dir, exist_ok=True)
         self.t_frontier = ParquetTable(run_dir, "frontier")
@@ -470,7 +482,14 @@ class CrawlEngine:
         # the per-source page count feeding the A5 no-new streak
         listing_pages_fetched: dict[str, set[int]] = defaultdict(set)
         for r in summary:
-            if r["kind"] == "listing" and not self._is_requeue(r):
+            if (
+                r["kind"] == "listing"
+                and not self._is_requeue(r)
+                # MISSING = beyond-end-of-pagination (404 past the last
+                # page): no content was observed, so it neither feeds the
+                # A5 no-new streak nor counts as a content page
+                and r["fetch_status"] != fetch_mod.FETCH_MISSING
+            ):
                 listing_pages_fetched[r["source"]].add(r["page_idx"])
 
         # ---- listings + investment pages → new frontier candidates
@@ -478,6 +497,38 @@ class CrawlEngine:
         links = listings.select(
             "source", "page_idx", "url", "slot", "kind", "html"
         ).mapInPandas(parse_mod.extract_links_batches, schema=parse_mod.LINKS_FIELDS)
+        if self.lookahead:
+            # speculative page-param bumps; a real next-page link discovered
+            # on page N canonicalizes identically to the N+1 speculation, so
+            # the in-batch window + anti-join collapse them to one row
+            ok_listings = fetched.filter(
+                (F.col("kind") == "listing")
+                & (F.col("fetch_status") == fetch_mod.FETCH_OK)
+            )
+            deltas = F.array(*[F.lit(i) for i in range(1, self.lookahead + 1)])
+            look = (
+                ok_listings.select("source", "url", "page_idx")
+                .withColumn("_d", F.explode(deltas))
+                .select(
+                    "source",
+                    (F.col("page_idx") + F.col("_d")).alias("page_idx"),
+                    F.col("url").alias("parent_url"),
+                    F.lit(0).alias("parent_slot"),
+                    F.lit("listing").alias("parent_kind"),
+                    # huge dom_idx: if the REAL next link coexists in the
+                    # batch, the order-preserving dedup keeps its slot
+                    (F.lit(1_000_000) + F.col("_d")).cast("int").alias("dom_idx"),
+                    F.regexp_replace(
+                        F.col("url"),
+                        r"((?:page|strona)=)\d+",
+                        F.concat(
+                            F.lit("$1"),
+                            (F.col("page_idx") + F.col("_d")).cast("string"),
+                        ),
+                    ).alias("href"),
+                )
+            )
+            links = links.unionByName(look)
         candidates = frontier_mod.classify_and_key_links(links, self.n_salts)
         fresh = frontier_mod.anti_join_seen(candidates, self._seen(), self.bloom)
 
@@ -706,11 +757,16 @@ class CrawlEngine:
                     self._last_page_done[src] = max(
                         self._last_page_done.get(src, 0), r["page_idx"]
                     )
-                elif r["fetch_status"] != fetch_mod.FETCH_ROBOTS:
+                elif r["fetch_status"] not in (
+                    fetch_mod.FETCH_ROBOTS,
+                    fetch_mod.FETCH_MISSING,
+                ):
                     # a listing page failed for real → the region ends as
                     # fetch_fail, NOT done/no_links (the reference retries
-                    # exactly these regions next round, cli.py:799-806);
-                    # robots-blocked listings are a deliberate permanent skip
+                    # exactly these regions next round, cli.py:799-806).
+                    # Robots-blocked listings are a deliberate permanent
+                    # skip; MISSING ones are beyond-end lookahead pages
+                    # (404 past the last page = end of pagination, L2).
                     self._had_fetch_fail[src] = True
             else:
                 self._pending_offers[src] = max(

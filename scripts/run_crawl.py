@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--offer-limit", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--retry-failed", action="store_true")
+    ap.add_argument("--lookahead", type=int, default=0,
+                    help="speculative pagination pages per fetched listing "
+                         "(rounds ~ depth/lookahead; 0 = strict reference-"
+                         "equivalent ordering)")
     ap.add_argument("--real-sleep", action="store_true",
                     help="enforce politeness in wall-clock (live crawls)")
     args = ap.parse_args()
@@ -68,6 +72,7 @@ def main() -> None:
         offer_limit=args.offer_limit,
         real_sleep=args.real_sleep,
         robots_rules=rules,
+        lookahead=args.lookahead,
     )
     if args.resume:
         eng = CrawlEngine.resume(spark, args.run_dir, graph, **kw)

@@ -62,7 +62,8 @@ def main() -> None:
     graph = make_site_graph(offers, n_pages=args.pages)
     t0 = time.monotonic()
     eng = CrawlEngine(
-        spark, tempfile.mkdtemp(prefix=f"scale{args.cpus}_"), graph, n_salts=4
+        spark, tempfile.mkdtemp(prefix=f"scale{args.cpus}_"), graph,
+        n_salts=4, lookahead=4,
     )
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=args.pages + 3)

@@ -14,16 +14,37 @@ Re-enacts, single-threaded, exactly what the reference's discover loop does
 
 Uses the reference's own ``normalize_url`` (imported from the dependency-free
 module scrapper/core/dedup.py) so the seen-set semantics are the reference's
-by construction, not by reimplementation.
+by construction, not by reimplementation. The import is gated behind
+``$SPARK_GRAFT_REFERENCE`` (default /root/reference): on machines without the
+checkout the equivalence tests SKIP instead of erroring, and the untrusted
+checkout is only executed when a reference comparison was explicitly asked
+for (ADVICE r1).
 """
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/reference")
-from scrapper.core.dedup import DedupeSet, normalize_url  # noqa: E402
+REFERENCE = os.environ.get("SPARK_GRAFT_REFERENCE", "/root/reference")
+
+
+def load_reference_dedup():
+    """(DedupeSet, normalize_url) from the reference checkout, or skip."""
+    if not os.path.isdir(os.path.join(REFERENCE, "scrapper")):
+        import pytest
+
+        pytest.skip(
+            "reference checkout not found; set SPARK_GRAFT_REFERENCE to "
+            "enable the crawl-equivalence oracle"
+        )
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from scrapper.core.dedup import DedupeSet, normalize_url
+
+    return DedupeSet, normalize_url
+
 
 _HREF_RE = re.compile(r'<a href="([^"]+)"')
 _PAGE_PARAM_RE = re.compile(r"[?&](?:page|strona)=(\d+)")
@@ -41,6 +62,7 @@ def simulate_reference_crawl(
     yields: list of dicts (source, url, url_canon, page_idx, slot) in the
     exact sequential order the reference would emit OfferIndex rows.
     """
+    DedupeSet, normalize_url = load_reference_dedup()
     pages = {normalize_url(r["url"]): r for r in graph_rows}
     dedupe = DedupeSet()
     yields: list[dict] = []
