@@ -436,30 +436,16 @@ class CrawlEngine:
         batch = self._pending.filter(eligible)
         leftover = self._pending.filter(~eligible)
 
-        if self.robots_rules:
-            from realestate_scraper_spark.crawl import politeness
-
-            gated = politeness.apply_robots(batch, self.robots_rules)
-            allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
-            blocked = gated.filter(~F.col("robots_allowed"))
-            fetched_ok = fetch_mod.fetch(
-                allowed, self.page_store_bc, self.n_salts,
-                real_sleep=self.real_sleep,
-            )
-            blocked_rows = blocked.select(
-                "url", "url_canon", "url_hash64", "source", "domain",
-                "domain_salt", "kind", "page_idx", "slot", "sub_slot",
-                "attempts",
-                F.lit(None).cast("string").alias("html"),
-                F.lit(fetch_mod.FETCH_ROBOTS).alias("fetch_status"),
-                F.lit(-1.0).alias("fetched_at_ms"),
-            )
-            fetched = fetched_ok.unionByName(blocked_rows).cache()
-        else:
-            fetched = fetch_mod.fetch(
-                batch, self.page_store_bc, self.n_salts,
-                real_sleep=self.real_sleep,
-            ).cache()
+        # robots gating runs INSIDE the fetch stage over the once-per-engine
+        # broadcast rules (zero extra plan stages; blocked rows surface as
+        # FETCH_ROBOTS and spend no budget). politeness.apply_robots remains
+        # the standalone declarative gate (expression / Arrow UDF by rule
+        # count) for pipelines that want the column.
+        fetched = fetch_mod.fetch(
+            batch, self.page_store_bc, self.n_salts,
+            real_sleep=self.real_sleep,
+            robots_rules_bc=self._robots_bc(),
+        ).cache()
 
         # ---- ACTION 1: fetch summary (batch size, lineage counters, status
         #      mix, per-page yield accounting) in one aggregation.
@@ -657,6 +643,17 @@ class CrawlEngine:
         return True, batch_n, offers_n
 
     # ------------------------------------------------- round-loop helpers
+    def _robots_bc(self):
+        """Broadcast the robots rules once per engine (lazily — seed() may
+        bootstrap them after __init__)."""
+        if self.robots_rules is None:
+            return None
+        if getattr(self, "_robots_bc_cache", None) is None:
+            self._robots_bc_cache = self.spark.sparkContext.broadcast(
+                self.robots_rules
+            )
+        return self._robots_bc_cache
+
     def _seen(self) -> DataFrame:
         """The URL-seen set as a lazy multi-snapshot scan of the insert
         deltas (url_canon only). Durable, partition-parallel, zero driver

@@ -80,11 +80,20 @@ def make_fetch_stage(
     n_salts: int,
     default_delay_ms: int = 100,
     real_sleep: bool = False,
+    robots_rules_bc=None,
 ):
-    """Returns the mapInPandas function closed over the broadcast store."""
+    """Returns the mapInPandas function closed over the broadcast store.
+
+    ``robots_rules_bc`` (optional): broadcast {domain → RobotsRules}; the
+    robots decision then runs INSIDE this stage (same Python pass as the
+    fetch, zero extra plan stages) — blocked rows surface as FETCH_ROBOTS
+    and spend no politeness budget. This is the S4-style pre-request gate
+    colocated with the request, exactly where the reference checks before
+    GET (core/http.py:92-103)."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         store = page_store_bc.value
+        rules = robots_rules_bc.value if robots_rules_bc is not None else None
         # Per-domain virtual token bucket: next free slot in ms. One bucket
         # per domain within this task; budget divided by salt shards so the
         # domain-aggregate rate across all tasks matches the configured one.
@@ -92,9 +101,30 @@ def make_fetch_stage(
         t0 = time.monotonic()
         for pdf in batches:
             out_html, out_status, out_at = [], [], []
-            for url_canon, domain, attempts in zip(
-                pdf["url_canon"], pdf["domain"], pdf["attempts"]
+            # optional robots pre-gate column (politeness.apply_robots):
+            # blocked rows spend no budget and never touch the store
+            gate = (
+                pdf["robots_allowed"]
+                if "robots_allowed" in pdf.columns
+                else [True] * len(pdf)
+            )
+            for url_canon, domain, attempts, allowed_by_rules in zip(
+                pdf["url_canon"], pdf["domain"], pdf["attempts"], gate
             ):
+                if not allowed_by_rules:
+                    out_html.append(None)
+                    out_status.append(FETCH_ROBOTS)
+                    out_at.append(-1.0)
+                    continue
+                if rules is not None:
+                    r = rules.get(domain)
+                    if r is not None and not r.allows(
+                        url_canon[url_canon.find("/", 8):]
+                    ):
+                        out_html.append(None)
+                        out_status.append(FETCH_ROBOTS)
+                        out_at.append(-1.0)
+                        continue
                 rec = store.get(url_canon)
                 if rec is None:
                     out_html.append(None)
@@ -158,6 +188,7 @@ def fetch(
     page_store_bc,
     n_salts: int,
     real_sleep: bool = False,
+    robots_rules_bc=None,
 ) -> DataFrame:
     """Repartition by domain_salt (the one shuffle of the fetch path) and run
     the politeness-governed batch fetch."""
@@ -165,7 +196,12 @@ def fetch(
         "url", "url_canon", "url_hash64", "source", "domain", "domain_salt",
         "kind", "page_idx", "slot", "sub_slot", "attempts",
     ]
-    stage = make_fetch_stage(page_store_bc, n_salts, real_sleep=real_sleep)
+    if "robots_allowed" in frontier_batch.columns:
+        cols.append("robots_allowed")
+    stage = make_fetch_stage(
+        page_store_bc, n_salts, real_sleep=real_sleep,
+        robots_rules_bc=robots_rules_bc,
+    )
     return (
         frontier_batch.select(*cols)
         .repartition(F.col("domain_salt"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,17 +102,70 @@ def robots_allow_expr(
     return expr
 
 
+# Above this many total rules the when-chain expression becomes a codegen
+# liability (compiled into EVERY plan that touches the gate — measured 42 s
+# of a 70 s crawl at 141 rules); switch to the broadcast Arrow UDF.
+N_EXPR_RULES_MAX = 64
+
+
+def robots_allow_udf(rules_by_domain: dict[str, RobotsRules], spark):
+    """Longest-prefix-match as a VECTORIZED pandas UDF over broadcast rules.
+
+    Per Arrow batch and per domain group: start allow=True, apply rules in
+    ascending (prefix_len, allow) order with `str.startswith` masks — longer
+    matches overwrite shorter, Allow wins length ties (the reference's `>=`,
+    RobotsRules.allows). O(rules) vectorized ops per batch, zero codegen."""
+    payload = {
+        dom: sorted(
+            [(p, False) for p in r.disallow] + [(p, True) for p in r.allow],
+            key=lambda t: (len(t[0]), t[1]),
+        )
+        for dom, r in rules_by_domain.items()
+    }
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf("boolean")
+    def _allow(domain: pd.Series, path: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.ones(len(domain), dtype=bool)
+        for dom in domain.unique():
+            rules = bc.value.get(dom)
+            if not rules:
+                continue
+            dmask = (domain == dom).to_numpy()
+            dpaths = path[dmask]
+            dout = np.ones(dmask.sum(), dtype=bool)
+            for prefix, allow in rules:
+                m = dpaths.str.startswith(prefix).to_numpy()
+                dout[m] = allow
+            out[dmask] = dout
+        return pd.Series(out)
+
+    return _allow
+
+
 def apply_robots(
     frontier: DataFrame, rules_by_domain: dict[str, RobotsRules]
 ) -> DataFrame:
-    """Attach ``robots_allowed`` to frontier rows (P-gate before fetch)."""
+    """Attach ``robots_allowed`` to frontier rows (P-gate before fetch).
+
+    Small rule sets compile to a pure expression (JVM, codegen); large ones
+    go through the broadcast Arrow UDF — same longest-prefix semantics,
+    asserted equal in tests."""
     path = F.regexp_replace(
         F.col("url_canon"), r"^https?://[^/]+", ""
     )
-    return frontier.withColumn(
-        "robots_allowed",
-        robots_allow_expr(rules_by_domain, F.col("domain"), path),
+    n_rules = sum(
+        len(r.disallow) + len(r.allow) for r in rules_by_domain.values()
     )
+    if n_rules <= N_EXPR_RULES_MAX:
+        gate = robots_allow_expr(rules_by_domain, F.col("domain"), path)
+    else:
+        gate = robots_allow_udf(rules_by_domain, frontier.sparkSession)(
+            F.col("domain"), path
+        )
+    return frontier.withColumn("robots_allowed", gate)
 
 
 def url_path(url: str) -> str:

@@ -995,6 +995,49 @@ def q29_priority_coalesce(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- q48
+@_reg(
+    "q48_norm_match",
+    f"""
+    WITH t AS (
+      SELECT p_partkey,
+             (p_name || ', ' ||
+              ['Łódź','Gdańsk','Wrocław','Kraków','Żyrardów','Świętochłowice',
+               'Bielsko-Biała','Zielona Góra'][CAST(p_partkey % 8 AS INT) + 1]
+             ) AS name
+      FROM part)
+    SELECT p_partkey,
+           trim(regexp_replace({_PL_FOLD_SQL.format(src="name")},
+                               '[^a-z0-9]+', ' ', 'g')) AS norm,
+           contains(
+             trim(regexp_replace({_PL_FOLD_SQL.format(src="name")},
+                                 '[^a-z0-9]+', ' ', 'g')),
+             'gdansk') AS matches_gdansk
+    FROM t
+    """,
+)
+def q48_norm_match(spark, sf_dir):
+    """F3/P9: gratka ``_norm`` + the city-match listing filter
+    (gratka.py:83-93): normalize free text to space-joined ascii tokens and
+    test city containment — the predicate that drops off-city cards."""
+    from realestate_scraper_spark.functions.textnorm import norm_match_expr
+
+    name = F.concat(
+        F.col("p_name"),
+        F.lit(", "),
+        F.element_at(
+            F.array(*[F.lit(n) for n in _PL_NAMES]),
+            (F.col("p_partkey") % 8 + 1).cast("int"),
+        ),
+    )
+    norm = norm_match_expr(name)
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        norm.alias("norm"),
+        norm.contains("gdansk").alias("matches_gdansk"),
+    )
+
+
 # --------------------------------------------------------------------- q47
 _RG_CITIES = [
     ("Gdansk", 54.35, 18.65), ("Warszawa", 52.23, 21.01),

@@ -276,3 +276,36 @@ def test_fetch_fail_region_not_marked_done(spark, tmp_path):
     cp = {r["source"]: r.asDict() for r in eng.checkpoint_df().collect()}
     assert cp["morizon"]["done"]
     assert cp["morizon"]["last_page_done"] == 2
+
+
+def test_robots_udf_equals_expr_and_python(spark):
+    """The large-rule-set Arrow UDF gate must agree with both the pure
+    expression gate and RobotsRules.allows on every case, including the
+    longest-match and Allow-wins-ties semantics."""
+    from realestate_scraper_spark.crawl.politeness import (
+        robots_allow_udf,
+    )
+
+    rules = {
+        "a.com": RobotsRules("a.com", disallow=["/x", "/y/z"], allow=["/x/ok"]),
+        "b.com": RobotsRules("b.com", disallow=[f"/p{i}" for i in range(100)]),
+    }
+    cases = [
+        ("a.com", "/x/page"), ("a.com", "/x/ok/page"), ("a.com", "/y/z"),
+        ("a.com", "/free"), ("b.com", "/p7/deep"), ("b.com", "/q"),
+        ("c.com", "/p7"),
+    ]
+    df = spark.createDataFrame(cases, "domain string, path string")
+    udf_gate = robots_allow_udf(rules, spark)
+    out = df.select(
+        "domain", "path",
+        robots_allow_expr(rules, F.col("domain"), F.col("path")).alias("e"),
+        udf_gate(F.col("domain"), F.col("path")).alias("u"),
+    )
+    for r in out.collect():
+        expected = (
+            rules[r["domain"]].allows(r["path"])
+            if r["domain"] in rules
+            else True
+        )
+        assert r["e"] == expected and r["u"] == expected, r
