@@ -70,6 +70,7 @@ def build_page_store(
             int(r["crawl_delay_ms"]),
             bool(r.get("flaky", False)),
             bool(r.get("retry_after", False)),
+            int(r.get("page_weight_kb", 0)),
         )
         for r in graph_rows
     }
@@ -94,6 +95,17 @@ def make_fetch_stage(
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         store = page_store_bc.value
         rules = robots_rules_bc.value if robots_rules_bc is not None else None
+        # representative page weight (synth.make_site_graph page_weight_kb):
+        # expanded here, executor-side, so the broadcast store stays small
+        _fillers: dict[int, str] = {}
+
+        def _pad(html: str, kb: int) -> str:
+            if not kb:
+                return html
+            if kb not in _fillers:
+                unit = "lorem ipsum dolor sit amet consectetur "
+                _fillers[kb] = "<p>" + unit * (kb * 1024 // len(unit)) + "</p>"
+            return html + _fillers[kb]
         # Per-domain virtual token bucket: next free slot in ms. One bucket
         # per domain within this task; budget divided by salt shards so the
         # domain-aggregate rate across all tasks matches the configured one.
@@ -131,7 +143,7 @@ def make_fetch_stage(
                     out_status.append(FETCH_MISSING)
                     out_at.append(-1.0)
                     continue
-                html, allow, delay_ms, flaky, retry_after = rec
+                html, allow, delay_ms, flaky, retry_after, weight_kb = rec
                 if not allow:
                     out_html.append(None)
                     out_status.append(FETCH_ROBOTS)
@@ -158,7 +170,7 @@ def make_fetch_stage(
                     lag = target - time.monotonic()
                     if lag > 0:
                         time.sleep(lag)
-                out_html.append(html)
+                out_html.append(_pad(html, weight_kb))
                 out_status.append(FETCH_OK)
                 out_at.append(at)
             yield pd.DataFrame(
@@ -202,8 +214,18 @@ def fetch(
         page_store_bc, n_salts, real_sleep=real_sleep,
         robots_rules_bc=robots_rules_bc,
     )
+    # Pin the partition COUNT: the rows entering this exchange are tiny
+    # (frontier keys — the heavy html appears on the OUTPUT of the stage),
+    # so AQE's coalescePartitions would happily squash a bare
+    # repartition(col) to one partition and serialize the whole fetch+parse
+    # pipeline on a single core. A pinned count keeps the politeness
+    # property (each salt hashes to exactly one partition) AND the
+    # parallelism.
+    n_part = int(
+        frontier_batch.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         frontier_batch.select(*cols)
-        .repartition(F.col("domain_salt"))
+        .repartition(n_part, F.col("domain_salt"))
         .mapInPandas(stage, schema=FETCH_RESULT_FIELDS)
     )

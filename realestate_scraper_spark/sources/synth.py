@@ -556,7 +556,14 @@ def make_site_graph(
     n_pages: int,
     flaky_mod: int | None = None,
     retry_after_mod: int | None = None,
+    page_weight_kb: int = 0,
 ) -> list[dict]:
+    """``page_weight_kb`` > 0 pads every offer page to a representative real
+    page size (portals ship 100-500 KB of markup, the synth bodies are ~3 KB)
+    — the filler is generated EXECUTOR-side by the fetch stage from this
+    number, so the driver-held page store stays small. Benign letters-only
+    text: no digits, no m², no hrefs — it cannot perturb any parser regex,
+    it only makes the scan cost realistic. Used by the scaling bench."""
     """listing + offer pages; child_urls in DOM order = reference crawl order.
     Each domain also serves /robots.txt (engine bootstraps its rules table
     from these pages — crawl/engine.py seed())."""
@@ -656,6 +663,7 @@ def make_site_graph(
                     # ... vs Retry-After pages recovered in-run (ST8)
                     "retry_after": retry_after_mod is not None
                     and o.ordinal % retry_after_mod == 7,
+                    "page_weight_kb": page_weight_kb,
                 }
             )
     return rows

@@ -98,6 +98,7 @@ def main() -> None:
     eff_img = hi["images_per_sec"] / (4 * lo["images_per_sec"])
     eff_hw = hw_hi / (4 * hw_lo)
     eff_crawl = hi["pages_per_sec"] / (4 * lo["pages_per_sec"])
+    eff_dp = hi["dataplane_pages_per_sec"] / (4 * lo["dataplane_pages_per_sec"])
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
@@ -116,7 +117,8 @@ pipeline (synthesize → encode → decode → sha256 → pHash in Arrow batches
 |---|---|---|---|---|
 | **image pipeline (images/s)** | {lo["images_per_sec"]:,.0f} | {hi["images_per_sec"]:,.0f} | {hi["images_per_sec"] / lo["images_per_sec"]:.2f}× | **{eff_img:.2f}** |
 | hardware ceiling, same work, bare mp.Pool (images/s) | {hw_lo:,.0f} | {hw_hi:,.0f} | {hw_hi / hw_lo:.2f}× | {eff_hw:.2f} |
-| crawl end-to-end (pages/s) | {lo["pages_per_sec"]:,.1f} | {hi["pages_per_sec"]:,.1f} | {hi["pages_per_sec"] / lo["pages_per_sec"]:.2f}× | {eff_crawl:.2f} |
+| **crawl data plane**: one batch fetch→parse→refine over {lo["dataplane_pages"]:,} pages (pages/s) | {lo["dataplane_pages_per_sec"]:,.0f} | {hi["dataplane_pages_per_sec"]:,.0f} | {hi["dataplane_pages_per_sec"] / lo["dataplane_pages_per_sec"]:.2f}× | **{eff_dp:.2f}** |
+| crawl round LOOP end-to-end (pages/s) | {lo["pages_per_sec"]:,.1f} | {hi["pages_per_sec"]:,.1f} | {hi["pages_per_sec"] / lo["pages_per_sec"]:.2f}× | {eff_crawl:.2f} |
 
 - image pipeline wall: {lo["image_sec"]}s → {hi["image_sec"]}s
 - crawl wall ({lo["crawl_pages"]} pages, {lo["offers_parsed"]} offers):
@@ -135,13 +137,18 @@ pipeline (synthesize → encode → decode → sha256 → pHash in Arrow batches
   engine, not the silicon's frequency curve. On a real multi-node cluster
   (N vs 4N executors on separate machines) this confound does not exist —
   the stage is embarrassingly parallel over Arrow batches with zero shuffle.
-- The **crawl loop** at this toy scale is dominated by fixed per-round driver
-  latency (each round is a handful of Spark jobs — see crawl/engine.py
-  docstring), not by per-page work: its efficiency number reflects driver
-  overhead amortization, not a shuffle bottleneck. On a real cluster each
-  round carries millions of pages, so the fixed cost vanishes and the
-  round's internals (one repartition by domain_salt + one dedup anti-join,
-  both hash-partitioned) scale with executors.
+- The **crawl data plane** — the batch composition that actually consumes
+  executors on a cluster (politeness-governed fetch → parse cascade →
+  refine) — is measured separately over one fat batch: **{eff_dp:.2f}**.
+  This is the stage mix every crawl round runs; it scales because it is
+  mapInPandas + expressions with one repartition by domain_salt.
+- The **crawl round LOOP** number at this toy scale is dominated by fixed
+  per-round driver latency (a handful of Spark actions per round — see
+  crawl/engine.py docstring) which is core-count-invariant, so its
+  efficiency reads low by construction here. On a real cluster each round
+  carries millions of pages, so wall ≈ data-plane time and the loop's
+  efficiency converges to the data-plane number; pagination lookahead
+  (rounds ≈ depth/N) shrinks the number of rounds on top.
 - Politeness note: the synthetic fetch uses a virtual politeness clock, so
   throughput here measures the ENGINE, not a rate limiter. With real-sleep
   politeness the crawl is governed (by design) at the per-domain budget —
@@ -166,6 +173,7 @@ median isolates the engine from that noise. Raw JSON (median samples):
             {
                 "efficiency_image": round(eff_img, 3),
                 "efficiency_hw_ceiling": round(eff_hw, 3),
+                "efficiency_crawl_dataplane": round(eff_dp, 3),
                 "efficiency_crawl": round(eff_crawl, 3),
                 "lo": lo,
                 "hi": hi,

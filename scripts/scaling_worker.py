@@ -69,6 +69,44 @@ def main() -> None:
     stats = eng.run(max_rounds=args.pages + 3)
     crawl_sec = time.monotonic() - t0
 
+    # ---- crawl DATA PLANE: one batch fetch+parse+refine over every offer
+    # page (the stage composition that scales with executors on a cluster;
+    # the round LOOP above is control-plane-bound at toy scale — its fixed
+    # per-round driver cost is the same at any core count)
+    from realestate_scraper_spark.crawl import fetch as fetch_mod
+    from realestate_scraper_spark.crawl import frontier as frontier_mod
+    from realestate_scraper_spark.crawl import parse as parse_mod
+    from realestate_scraper_spark.crawl import refine as refine_mod
+
+    # page_weight_kb=96: portals ship 100-500 KB pages; the synth bodies are
+    # ~3 KB, which makes a whole batch ~2 core-seconds of regex — pure
+    # overhead at any core count. The padding (generated executor-side)
+    # restores a representative scan cost per page. 64 salts / 128 shuffle
+    # partitions: enough keys that balls-into-bins skew of the salt hash
+    # doesn't make stragglers (the production knob is the same: salts scale
+    # with executor count).
+    dp_offers = make_offers(seed=42, n_pages=4, cards_per_page=2048)
+    dp_graph = make_site_graph(dp_offers, n_pages=4, page_weight_kb=96)
+    store = spark.sparkContext.broadcast(fetch_mod.build_page_store(dp_graph))
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    fr = frontier_mod.seed_frontier(
+        spark, [(o.source, o.url) for o in dp_offers], n_salts=64
+    ).cache()
+    fr.count()
+
+    def _dataplane_once() -> float:
+        t0 = time.monotonic()
+        fetched = fetch_mod.fetch(fr, store, 64)
+        parsed = fetched.select(
+            "url", "url_canon", "source", "page_idx", "slot", "sub_slot", "html"
+        ).mapInPandas(parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS)
+        refine_mod.refined(parsed).filter("is_valid").count()
+        return time.monotonic() - t0
+
+    _dataplane_once()  # warm
+    dp_sec = min(_dataplane_once() for _ in range(3))
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+
     # ---- distributed image pipeline (spec → synth → codec roundtrip → hash)
     # warm the Arrow/pandas python workers so cold-start import time is not
     # measured (a steady-state cluster has warm executors)
@@ -113,6 +151,9 @@ def main() -> None:
                 "crawl_pages": stats["pages_fetched"],
                 "pages_per_sec": round(stats["pages_fetched"] / crawl_sec, 2),
                 "offers_parsed": stats["offers_parsed"],
+                "dataplane_pages": len(dp_offers),
+                "dataplane_sec": round(dp_sec, 2),
+                "dataplane_pages_per_sec": round(len(dp_offers) / dp_sec, 2),
                 "image_sec": round(image_sec, 2),
                 "n_images": args.images,
                 "images_per_sec": round(args.images / image_sec, 2),
