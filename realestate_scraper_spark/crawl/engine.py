@@ -69,6 +69,7 @@ from realestate_scraper_spark.schemas import (
     METRICS_SCHEMA,
     STATUS_DONE,
     STATUS_FAILED,
+    STATUS_MISSING,
     STATUS_PENDING,
     STATUS_ROBOTS,
 )
@@ -330,7 +331,8 @@ class CrawlEngine:
         """ST5 retry rounds: re-enqueue FAILED rows as PENDING with
         attempts+1 — the reference's 'retry only fetch_fail regions' loop
         (cli.py:731-816) at URL granularity. Robots-blocked rows carry
-        STATUS_ROBOTS and are never re-enqueued (they can only re-fail).
+        STATUS_ROBOTS and 404s STATUS_MISSING — both terminal, never
+        re-enqueued (they can only re-fail / re-miss).
         Written as an O(failed) update delta; returns the re-enqueued count.
         """
         fr = self.frontier()
@@ -672,11 +674,13 @@ class CrawlEngine:
         """Fetched rows → full-schema frontier rows with their new status.
 
         OK → DONE; robots-blocked → ROBOTS (terminal, never retried);
-        Retry-After TRANSIENT → PENDING with retry_at = next round and
-        attempts+1 until the in-run budget burns out (ST8, http.py:69-76);
-        everything else (hard fail / missing) → FAILED (ST5 territory)."""
+        404/absent → MISSING (terminal too — benign end-of-pagination, a
+        retry can only re-miss, ADVICE r2); Retry-After TRANSIENT → PENDING
+        with retry_at = next round and attempts+1 until the in-run budget
+        burns out (ST8, http.py:69-76); hard failures → FAILED (ST5)."""
         is_ok = F.col("fetch_status") == fetch_mod.FETCH_OK
         is_robots = F.col("fetch_status") == fetch_mod.FETCH_ROBOTS
+        is_missing = F.col("fetch_status") == fetch_mod.FETCH_MISSING
         is_transient = F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
         requeue = is_transient & (
             F.col("attempts") + 1 < self.max_transient_attempts
@@ -696,6 +700,7 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("offer_id"),
             F.when(is_ok, STATUS_DONE)
             .when(is_robots, STATUS_ROBOTS)
+            .when(is_missing, STATUS_MISSING)
             .when(requeue, STATUS_PENDING)
             .otherwise(STATUS_FAILED)
             .alias("status"),

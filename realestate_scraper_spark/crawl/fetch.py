@@ -130,8 +130,12 @@ def make_fetch_stage(
                     continue
                 if rules is not None:
                     r = rules.get(domain)
+                    # canonicalize_url rstrips "/", so a root URL has no
+                    # path separator after the scheme — treat it as "/"
+                    # (same convention as politeness.apply_robots)
+                    sep = url_canon.find("/", 8)
                     if r is not None and not r.allows(
-                        url_canon[url_canon.find("/", 8):]
+                        url_canon[sep:] if sep != -1 else "/"
                     ):
                         out_html.append(None)
                         out_status.append(FETCH_ROBOTS)

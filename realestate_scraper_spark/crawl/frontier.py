@@ -54,9 +54,31 @@ def seed_frontier(
     return _finish_frontier_rows(df, round_idx=0, n_salts=n_salts)
 
 
+def absolutize_href_expr(href, parent_url):
+    """F4: resolve a possibly-relative href against the parent page URL —
+    the reference's urljoin (core/http.py:113-114) as pure expressions.
+
+    Covers the link shapes portals emit: absolute, protocol-relative
+    (``//host/…``), path-absolute (``/…``), and bare-relative (resolved
+    against the parent's directory). Exotic urljoin cases (``../``, ``./``)
+    don't appear in crawl hrefs and fall through as parent_dir + href."""
+    scheme = F.regexp_extract(parent_url, r"^(https?:)", 1)
+    origin = F.regexp_extract(parent_url, r"^(https?://[^/?#]+)", 1)
+    # greedy up-to-last-slash of the parent PATH (query/fragment excluded)
+    parent_dir = F.regexp_extract(parent_url, r"^([^?#]*/)", 1)
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(parent_dir, href))
+    )
+
+
 def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
     """Raw extracted links → typed frontier candidates.
 
+    - hrefs are absolutized against the parent URL first (F4 — real portals
+      mix relative and absolute links; core/http.py:113-114).
     - kind: listing iff the URL carries a pagination param; offer otherwise
       (P8: non-offer junk URLs are dropped later by the offer-id gate in
       refine; here every article link is one or the other by construction).
@@ -66,6 +88,9 @@ def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
     """
     from realestate_scraper_spark.crawl.refine import offer_id_expr
 
+    links = links.withColumn(
+        "href", absolutize_href_expr(F.col("href"), F.col("parent_url"))
+    )
     page_from_url = F.regexp_extract(F.col("href"), _PAGE_PARAM_RE, 1)
     is_listing = page_from_url != ""
     is_investment = F.col("href").rlike(_INVESTMENT_RE)

@@ -156,6 +156,9 @@ def apply_robots(
     path = F.regexp_replace(
         F.col("url_canon"), r"^https?://[^/]+", ""
     )
+    # canonical root URLs have no path left → "/" (same convention as the
+    # in-stage gate in crawl/fetch.py, so the two paths can't diverge)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
     n_rules = sum(
         len(r.disallow) + len(r.allow) for r in rules_by_domain.values()
     )

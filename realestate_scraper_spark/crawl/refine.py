@@ -5,6 +5,8 @@ semantics chain:
 
 - F5  offer-id extraction regexes per source (otodom.py:27, morizon.py:71-73,
        gratka.py:846-848, trojmiasto.py:59-61)
+- F19 price fill-in = round(ppm2 × area) when the page shows ppm2 + area but
+       no price, currency forced PLN (otodom.py:158-165)
 - P5  PL-bbox plausibility gate (morizon.py:23,54-58) — out-of-bbox coords are
        treated as absent, not clamped
 - F18 area back-solve when area is MISSING or displayed ppm2 disagrees with
@@ -117,8 +119,23 @@ def refined(parsed: DataFrame) -> DataFrame:
     lat = F.when(geo_ok, lat0)
     lon = F.when(geo_ok, lon0)
 
-    price = F.col("raw_price")
     raw_area = F.col("raw_area")
+    # F19 first (otodom.py:158-165): when the page shows ppm2 + area but NO
+    # price, derive price = float(int(round(ppm2 × area))) and force currency
+    # to PLN (the reference sets it whenever price_amount lands). rint() is
+    # half-even — exactly Python's round(), NOT Spark's HALF_UP F.round.
+    derived_price = F.when(
+        F.col("raw_price").isNull()
+        & F.col("raw_ppm2").isNotNull()
+        & (F.col("raw_ppm2") > 0)
+        & raw_area.isNotNull()
+        & (raw_area > 0),
+        F.expr("rint(raw_ppm2 * raw_area)"),
+    )
+    price = F.coalesce(F.col("raw_price"), derived_price)
+    currency = F.coalesce(
+        F.col("raw_currency"), F.when(derived_price.isNotNull(), F.lit("PLN"))
+    )
     # F17 fill-in first (morizon.py:572-578, gratka.py:916-923): when the
     # page shows no ppm2, derive it from price / RAW area; a displayed ppm2
     # is KEPT — the reference never recomputes it from the corrected area.
@@ -149,7 +166,7 @@ def refined(parsed: DataFrame) -> DataFrame:
         .withColumn("lon", lon)
         .withColumn("area_m2", area)
         .withColumn("price_amount", price)
-        .withColumn("price_currency", F.col("raw_currency"))
+        .withColumn("price_currency", currency)
         # city waterfall (L6-style coalesce cascade): page value first, URL
         # slug token fallback second (F8)
         .withColumn(

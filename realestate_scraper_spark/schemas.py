@@ -27,6 +27,11 @@ STATUS_DONE = "DONE"
 # re-enqueue URLs that can only re-fail (reference treats robots as a hard
 # skip; ADVICE r1: don't collapse ROBOTS into FAILED).
 STATUS_ROBOTS = "ROBOTS"
+# 404/absent — terminal like ROBOTS. The engine treats MISSING as benign
+# end-of-pagination (a portal 404s past the last page), so retry passes must
+# never re-enqueue it: a missing URL can only re-miss (ADVICE r2: collapsing
+# MISSING into FAILED made retry_failed() refetch beyond-end pages forever).
+STATUS_MISSING = "MISSING"
 
 FRONTIER_SCHEMA = T.StructType(
     [

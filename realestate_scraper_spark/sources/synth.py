@@ -24,6 +24,12 @@ Adversarial rows (deterministic by offer ordinal):
                       displayed ppm2 present the engine must back-solve
                       area = price/ppm2 (the `(ar is None)` branch of
                       morizon.py:591-593), NOT quarantine as incomplete
+  - ord %% 41 == 12 → NO price on the page but displayed ppm2 + area present;
+                      the engine must derive price = round(ppm2 × area)
+                      (F19, otodom.py:158-165), NOT quarantine as no_price
+  - every 3rd listing-card href is PATH-RELATIVE (no scheme/host); the link
+                      classifier must absolutize against the parent URL
+                      (F4, core/http.py:113-114 urljoin) before canonicalizing
   - ord %% 43 == 31 → year_built=1650, outside pydantic's [1800, now+1]
                       range (validate.py:28) → the WHOLE offer is rejected
                       (detail.py:92 Offer(**data) raises → quarantine)
@@ -115,6 +121,10 @@ class SynthOffer:
     out_of_bbox: bool
     ppm2_disagrees: bool
     missing_area: bool = False
+    # F19 adversary (otodom.py:158-165): the page shows ppm2 + area but NO
+    # price — the engine must derive price = round(ppm2 × area), not
+    # quarantine as no_price.
+    price_missing: bool = False
     photo_image_ids: list[str] = field(default_factory=list)
     photo_urls: list[str] = field(default_factory=list)
     investment_lead: int | None = None  # lead ordinal of the investment group
@@ -131,9 +141,17 @@ class SynthOffer:
         lat, lon = self.lat, self.lon
         if self.missing_geo or self.out_of_bbox:
             lat = lon = None
-        price = None if self.inquiry_price else self.price_amount
+        price = (
+            None
+            if (self.inquiry_price or self.price_missing)
+            else self.price_amount
+        )
         area = None if self.missing_area else self.area_m2
         ppm2 = None if self.inquiry_price else self.displayed_ppm2
+        if price is None and ppm2 and area:
+            # F19 (otodom.py:158-165): price := float(int(round(ppm2*area)))
+            # — Python round() is half-even, matched by Spark's rint()
+            price = float(int(round(ppm2 * area)))
         if ppm2 is None and price and area:
             ppm2 = _round2_half_up(price / area)
         if price and ppm2 and ppm2 > 0:
@@ -322,6 +340,7 @@ def make_offers(
                         out_of_bbox=out_bbox,
                         ppm2_disagrees=disagrees,
                         missing_area=ordinal % 29 == 19,
+                        price_missing=ordinal % 41 == 12,
                         investment_lead=lead_ordinal if is_investment else None,
                     )
                     n_photos = ordinal % 5
@@ -395,13 +414,24 @@ def _fmt_pl_dt(iso: str, seconds: bool = False) -> str:
 def render_offer_html(o: SynthOffer) -> str:
     lat = None if o.missing_geo else o.lat
     lon = None if o.missing_geo else o.lon
-    price_txt = "Zapytaj o cenę" if o.inquiry_price else _fmt_price_pl(o.price_amount)
+    # price_missing pages show NO price element at all but keep the displayed
+    # ppm2 + area (F19 adversary); inquiry pages show the inquiry text and
+    # hide ppm2 too (morizon.py:537-541)
+    price_val = (
+        None if (o.inquiry_price or o.price_missing) else o.price_amount
+    )
+    if o.inquiry_price:
+        price_txt = "Zapytaj o cenę"
+    elif o.price_missing:
+        price_txt = ""
+    else:
+        price_txt = _fmt_price_pl(o.price_amount)
     imgs = o.photo_urls
     if o.variant == "ldjson":
         ld = {
             "@type": "Offer",
             "name": o.title(),
-            "price": None if o.inquiry_price else o.price_amount,
+            "price": price_val,
             "priceCurrency": "PLN",
             "geo": None if lat is None else {"latitude": lat, "longitude": lon},
             "address": {"addressLocality": o.city},
@@ -431,7 +461,7 @@ def render_offer_html(o: SynthOffer) -> str:
                 "pageProps": {
                     "ad": {
                         "target": {
-                            "Price": None if o.inquiry_price else o.price_amount,
+                            "Price": price_val,
                             "Price_per_m": o.displayed_ppm2
                             if not o.inquiry_price
                             else None,
@@ -542,10 +572,29 @@ def _relist_variant(url: str) -> str:
     return f"{url}/#relist"
 
 
+def _maybe_relative(i: int, u: str) -> str:
+    """Every 3rd card href is rendered PATH-RELATIVE (F4 adversary): real
+    portals mix absolute and relative hrefs; the reference absolutizes with
+    urljoin (core/http.py:113-114). child_urls stay absolute — only the HTML
+    differs, so the engine's absolutize+canonicalize must land on the same
+    canonical URL the reference-sim derives from child_urls."""
+    if i % 3 != 2:
+        return u
+    from urllib.parse import urlsplit
+
+    p = urlsplit(u)
+    rel = p.path or "/"
+    if p.query:
+        rel += f"?{p.query}"
+    if p.fragment:
+        rel += f"#{p.fragment}"
+    return rel
+
+
 def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
     cards = "".join(
-        f'<article data-cy="listing-item"><a href="{u}">oferta</a></article>'
-        for u in card_urls
+        f'<article data-cy="listing-item"><a href="{_maybe_relative(i, u)}">oferta</a></article>'
+        for i, u in enumerate(card_urls)
     )
     return f"<html><body><div class='listing' data-page='{page}'>{cards}</div></body></html>"
 
@@ -558,15 +607,16 @@ def make_site_graph(
     retry_after_mod: int | None = None,
     page_weight_kb: int = 0,
 ) -> list[dict]:
-    """``page_weight_kb`` > 0 pads every offer page to a representative real
+    """Listing + offer pages; child_urls in DOM order = reference crawl order.
+    Each domain also serves /robots.txt (engine bootstraps its rules table
+    from these pages — crawl/engine.py seed()).
+
+    ``page_weight_kb`` > 0 pads every offer page to a representative real
     page size (portals ship 100-500 KB of markup, the synth bodies are ~3 KB)
     — the filler is generated EXECUTOR-side by the fetch stage from this
     number, so the driver-held page store stays small. Benign letters-only
     text: no digits, no m², no hrefs — it cannot perturb any parser regex,
     it only makes the scan cost realistic. Used by the scaling bench."""
-    """listing + offer pages; child_urls in DOM order = reference crawl order.
-    Each domain also serves /robots.txt (engine bootstraps its rules table
-    from these pages — crawl/engine.py seed())."""
     rows: list[dict] = []
     robots_texts = make_robots_txt(offers)
     for source in SOURCES:

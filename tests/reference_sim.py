@@ -6,6 +6,8 @@ Re-enacts, single-threaded, exactly what the reference's discover loop does
 - pages crawled strictly in pagination order per source, one source at a time
   (scrapper/pipelines/stream.py:144-157 is one `for` loop);
 - cards yielded in DOM order within each page (otodom.py:592-614);
+- relative hrefs resolved against the page URL with urljoin, exactly the
+  reference's join_url (scrapper/core/http.py:113-114);
 - every discovered offer URL is normalized and checked against the seen set
   *before* being yielded — duplicates are skipped, the crawl order of the
   survivors is preserved (dedupe-before-fetch, dedup.py:22-27, O1);
@@ -80,7 +82,13 @@ def simulate_reference_crawl(
             if max_pages is not None and page_idx > max_pages:
                 stop_reasons[source] = "max_pages"
                 break
-            links = _HREF_RE.findall(row["html"])
+            from urllib.parse import urljoin
+
+            # the reference absolutizes every href before classification
+            # (join_url, core/http.py:113-114)
+            links = [
+                urljoin(row["url"], h) for h in _HREF_RE.findall(row["html"])
+            ]
             next_listing = None
             new_count = 0
             for slot, href in enumerate(links):
@@ -96,7 +104,11 @@ def simulate_reference_crawl(
                     inv = pages.get(normalize_url(href))
                     if inv is None:
                         continue
-                    for sub_slot, child in enumerate(_HREF_RE.findall(inv["html"])):
+                    inv_links = [
+                        urljoin(inv["url"], h)
+                        for h in _HREF_RE.findall(inv["html"])
+                    ]
+                    for sub_slot, child in enumerate(inv_links):
                         if dedupe.seen_url(child):
                             continue
                         yields.append(

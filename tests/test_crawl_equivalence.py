@@ -246,6 +246,39 @@ def test_missing_area_backsolved_not_quarantined(engine_run, corpus):
         assert row["price_per_m2"] == pytest.approx(g["price_per_m2"], abs=1e-6)
 
 
+def test_missing_price_derived_from_ppm2_not_quarantined(engine_run, corpus):
+    """F19 (otodom.py:158-165): offers whose page shows ppm2 + area but NO
+    price must derive price = round(ppm2 × area) with currency PLN and pass
+    the completeness gate — not land in quarantine as 'no_price'."""
+    offers, _, _ = corpus
+    eng, _ = engine_run
+    affected = [
+        o
+        for o in offers
+        if o.price_missing and not o.inquiry_price
+        and o.golden_row() is not None and o.ordinal % 23 != 21
+    ]
+    assert affected, "adversarial case vacuous — widen the corpus"
+    got = {r["offer_id"]: r.asDict() for r in eng.offers().collect()}
+    for o in affected:
+        row = got.get(o.offer_id)
+        assert row is not None, f"{o.offer_id} quarantined despite F19 fill-in"
+        g = o.golden_row()
+        assert row["price_amount"] == pytest.approx(g["price_amount"], abs=1e-9)
+        assert row["price_amount"] == float(int(row["price_amount"]))  # whole PLN
+        assert row["price_currency"] == "PLN"
+
+
+def test_relative_hrefs_absolutized(engine_run, corpus):
+    """F4 (core/http.py:113-114): every 3rd listing-card href is rendered
+    path-relative; the frontier must still record the ABSOLUTE canonical URL
+    (no scheme-less garbage rows, no lost offers)."""
+    eng, _ = engine_run
+    fr = eng.frontier()
+    bad = fr.filter(~F.col("url").rlike(r"^https?://")).count()
+    assert bad == 0, "relative hrefs leaked into the frontier unabsolutized"
+
+
 def test_hydrated_bounds_centre_geo_fallback(engine_run, corpus):
     """F16 (morizon.py:115-138): css pages with ord%47==9 carry coordinates
     ONLY as hydrated map bounds; the parser must take the bbox centre."""

@@ -309,3 +309,24 @@ def test_robots_udf_equals_expr_and_python(spark):
             else True
         )
         assert r["e"] == expected and r["u"] == expected, r
+
+
+def test_missing_pages_terminal_not_retried(spark, tmp_path):
+    """ADVICE r2: FETCH_MISSING must be a terminal frontier status. With
+    lookahead on, beyond-end speculative pages 404 (benign end-of-pagination)
+    — retry_failed() must NOT re-enqueue them: a missing URL can only
+    re-miss, so retrying it loops forever with unbounded attempts."""
+    from realestate_scraper_spark.schemas import STATUS_MISSING
+
+    _, _, graph = build_corpus(seed=7, n_pages=2, cards_per_page=4)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "run"), graph, n_salts=1, lookahead=3
+    )
+    eng.seed(seed_urls())
+    eng.run(max_rounds=10)
+    fr = eng.frontier()
+    n_missing = fr.filter(F.col("status") == STATUS_MISSING).count()
+    assert n_missing > 0, "lookahead produced no beyond-end pages — vacuous"
+    # no flaky pages in this graph → nothing is legitimately retryable;
+    # before the fix MISSING rows were FAILED and re-enqueued here forever
+    assert eng.retry_failed() == 0
