@@ -37,9 +37,11 @@ Scale discipline (the parts that must survive 10^10 frontier rows):
 - **The working set is a cached DataFrame**, rebuilt per round as
   (ineligible leftover ∪ transient re-enqueues ∪ new rows) — all O(batch)
   unions, localCheckpoint()ed so the plan never grows with round count.
-- **The seen set is a lazy multi-snapshot scan** of the insert deltas
-  (``url_canon`` column only, partition-parallel) — the exact anti-join
-  backstop behind the Bloom prefilter; nothing is collected.
+- **The seen set is a BUCKETED table** (crawl/seenstore.py): the per-round
+  anti-join needs no exchange or sort on the seen side (only the small
+  maybe-seen candidate batch shuffles), and compaction every K appends keeps
+  the file count O(K), never O(rounds). The exact anti-join backstop behind
+  the Bloom prefilter; nothing is collected.
 - **Bloom deltas build distributed** (one Arrow group per domain-salt shard,
   bloom.py) and OR-merge driver-side as ~KB bitmaps.
 
@@ -62,6 +64,7 @@ from realestate_scraper_spark.crawl import frontier as frontier_mod
 from realestate_scraper_spark.crawl import parse as parse_mod
 from realestate_scraper_spark.crawl import refine as refine_mod
 from realestate_scraper_spark.crawl.bloom import ShardedBloom
+from realestate_scraper_spark.crawl.seenstore import BucketedSeenStore
 from realestate_scraper_spark.functions.urlnorm import url_hash32
 from realestate_scraper_spark.schemas import (
     CHECKPOINT_SCHEMA,
@@ -103,6 +106,8 @@ class CrawlEngine:
         robots_rules: dict | None = None,
         max_transient_attempts: int = 3,
         lookahead: int = 0,
+        seen_buckets: int = 8,
+        seen_compact_every: int = 8,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -145,6 +150,16 @@ class CrawlEngine:
         self.t_quarantine = ParquetTable(run_dir, "quarantine")
         self.t_metrics = ParquetTable(run_dir, "metrics")
         self.bloom_path = os.path.join(run_dir, "bloom.npz")
+        # Bucketed URL-seen store: no seen-side exchange in the per-round
+        # anti-join; file count bounded by periodic compaction. Toy defaults
+        # (8 buckets, compact every 8 appends); production: buckets sized to
+        # frontier/target-file-size (e.g. 4096 at 10^10 URLs).
+        self.seen_store = BucketedSeenStore(
+            spark,
+            run_dir,
+            n_buckets=seen_buckets,
+            compact_every=seen_compact_every,
+        )
         # checkpoint state is tiny driver state → atomic JSON, exactly the
         # reference's *_state.json pattern (cli.py:128-139)
         self.checkpoint_path = os.path.join(run_dir, "checkpoint.json")
@@ -180,6 +195,8 @@ class CrawlEngine:
         frontier_mod.assert_frontier_schema(df)
         self.t_frontier.overwrite(df.coalesce(1), round_idx=0, stage="seed")
         snap = self.spark.read.parquet(self.t_frontier.snapshot_paths()[0])
+        self.seen_store.reset()
+        self.seen_store.append(snap)
         self.bloom = ShardedBloom(fpp=self.bloom_fpp)
         self.bloom.merge(
             ShardedBloom.build(
@@ -535,6 +552,8 @@ class CrawlEngine:
         new_n = 0
         new_offer_counts: dict[str, int] = defaultdict(int)
         if new_df is not None:
+            # seen-store append: O(new URLs), bucketed (url_canon only)
+            self.seen_store.append(new_df)
             # Bloom delta: built distributed per shard, OR-merged driver-side
             # (~KB bitmaps) — no row collect (north_rule Bloom lifecycle)
             self.bloom.merge(
@@ -657,10 +676,23 @@ class CrawlEngine:
         return self._robots_bc_cache
 
     def _seen(self) -> DataFrame:
-        """The URL-seen set as a lazy multi-snapshot scan of the insert
-        deltas (url_canon only). Durable, partition-parallel, zero driver
-        memory — the exact backstop behind the Bloom prefilter (J4/O1)."""
+        """The URL-seen set as a BUCKETED scan (url_canon only): the exact
+        backstop behind the Bloom prefilter (J4/O1) joins with no seen-side
+        exchange (crawl/seenstore.py). Durable, partition-parallel, zero
+        driver memory. On a pre-upgrade run dir (no bucketed store on disk)
+        the store is rebuilt once from the frontier insert deltas."""
+        if not self.seen_store.registered():
+            self.seen_store.ensure_registered(
+                rebuild_from=self._seen_delta_scan()
+            )
+        return self.seen_store.df()
+
+    def _seen_delta_scan(self) -> DataFrame | None:
+        """Fallback seen source: multi-snapshot scan of the frontier insert
+        deltas — only used to (re)build the bucketed store."""
         paths = self.t_frontier.snapshot_paths(_SEEN_STAGES)
+        if not paths:
+            return None
         return self.spark.read.parquet(*paths).select("url_canon")
 
     def _is_requeue(self, r) -> bool:
