@@ -186,6 +186,13 @@ class CrawlEngine:
         self._last_page_done: dict[str, int] = {}
         self._had_fetch_fail: dict[str, bool] = {}  # listing-page failures
         self._metrics_buf: list[tuple] = []
+        # ST7 cross-round politeness continuity: per-domain_salt high-water
+        # mark of consumed virtual ms (≤ domains×salts entries — metadata
+        # scale), seeding the next round's token buckets; plus the run's
+        # wall anchor for real_sleep mode. A NEW RUN starts a fresh clock —
+        # same as the reference's process-lifetime limiter (http.py:13-21).
+        self._salt_clock: dict[str, float] = {}
+        self._wall_t0: float | None = None
 
     # ------------------------------------------------------------- seeding
     def seed(self, seeds: list[tuple[str, str]]) -> None:
@@ -460,23 +467,38 @@ class CrawlEngine:
         # FETCH_ROBOTS and spend no budget). politeness.apply_robots remains
         # the standalone declarative gate (expression / Arrow UDF by rule
         # count) for pipelines that want the column.
+        if self.real_sleep and self._wall_t0 is None:
+            self._wall_t0 = time.time()
         fetched = fetch_mod.fetch(
             batch, self.page_store_bc, self.n_salts,
             real_sleep=self.real_sleep,
             robots_rules_bc=self._robots_bc(),
+            start_offsets=dict(self._salt_clock),
+            t0_wall=self._wall_t0,
         ).cache()
 
         # ---- ACTION 1: fetch summary (batch size, lineage counters, status
-        #      mix, per-page yield accounting) in one aggregation.
+        #      mix, per-page yield accounting, politeness high-water marks)
+        #      in one aggregation.
         summary = (
             fetched.groupBy(
                 "source", "domain_salt", "kind", "fetch_status", "page_idx",
                 "attempts",
             )
-            .agg(F.count("*").alias("n"))
+            .agg(
+                F.count("*").alias("n"),
+                F.max("fetched_at_ms").alias("max_at"),
+            )
             .collect()
         )
         batch_n = sum(r["n"] for r in summary)
+        # advance the cross-round politeness clock (ST7); rows that spent no
+        # budget (robots/missing) record -1 and are ignored
+        for r in summary:
+            if r["max_at"] is not None and r["max_at"] >= 0:
+                k = r["domain_salt"]
+                if r["max_at"] > self._salt_clock.get(k, -1.0):
+                    self._salt_clock[k] = r["max_at"]
         if batch_n == 0:
             fetched.unpersist()
             self._finalize_done()

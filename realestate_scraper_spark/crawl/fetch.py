@@ -19,7 +19,11 @@ Retry-After honoring on 429/503) with a partition-parallel batch stage:
   ``retry_at`` hint for re-enqueue (ST8);
 - the politeness clock is virtual by default (recorded per row as
   ``fetched_at_ms``) so tests and benches audit the schedule without
-  sleeping; ``real_sleep=True`` enforces it in wall-clock for live crawls.
+  sleeping; ``real_sleep=True`` enforces it in wall-clock for live crawls;
+- the clock is CONTINUOUS ACROSS ROUNDS (ST7): the engine seeds each round's
+  buckets from the previous rounds' per-shard high-water marks
+  (``start_offsets``), mirroring the reference's process-lifetime limiter
+  (core/http.py:13-21) — a round boundary never resets a domain's budget.
 """
 
 from __future__ import annotations
@@ -82,6 +86,8 @@ def make_fetch_stage(
     default_delay_ms: int = 100,
     real_sleep: bool = False,
     robots_rules_bc=None,
+    start_offsets: dict[str, float] | None = None,
+    t0_wall: float | None = None,
 ):
     """Returns the mapInPandas function closed over the broadcast store.
 
@@ -90,7 +96,16 @@ def make_fetch_stage(
     fetch, zero extra plan stages) — blocked rows surface as FETCH_ROBOTS
     and spend no politeness budget. This is the S4-style pre-request gate
     colocated with the request, exactly where the reference checks before
-    GET (core/http.py:92-103)."""
+    GET (core/http.py:92-103).
+
+    ``start_offsets`` (ST7 cross-round continuity): {domain_salt → last
+    consumed virtual ms from PREVIOUS rounds}. A bucket's first grant this
+    round starts at last + eff_delay, so the per-domain rate holds across
+    the WHOLE RUN — the reference's limiter lives for the whole process
+    (core/http.py:13-21), not per batch. Without it the clock re-zeroed
+    every round and short rounds could exceed the configured RPS.
+    ``t0_wall`` anchors virtual ms 0 to the run's wall start (epoch secs)
+    so real_sleep targets are run-global, not round-local."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         store = page_store_bc.value
@@ -106,11 +121,33 @@ def make_fetch_stage(
                 unit = "lorem ipsum dolor sit amet consectetur "
                 _fillers[kb] = "<p>" + unit * (kb * 1024 // len(unit)) + "</p>"
             return html + _fillers[kb]
-        # Per-domain virtual token bucket: next free slot in ms. One bucket
-        # per domain within this task; budget divided by salt shards so the
-        # domain-aggregate rate across all tasks matches the configured one.
+        # Per-(domain,salt) virtual token bucket: next free slot in ms,
+        # seeded from previous rounds' clocks. A bucket's budget is the
+        # domain delay × salt shards, so the domain-aggregate rate across
+        # all shards/tasks matches the configured one.
+        starts = start_offsets or {}
         next_free: dict[str, float] = {}
-        t0 = time.monotonic()
+        t0 = t0_wall if t0_wall is not None else time.time()
+
+        def _grant(key: str, eff_delay: float) -> float:
+            """Consume one politeness slot; returns its virtual ms."""
+            if key not in next_free:
+                base = starts.get(key)
+                next_free[key] = 0.0 if base is None else base + eff_delay
+            at = max(next_free[key], 0.0)
+            if real_sleep:
+                now_ms = (time.time() - t0) * 1000.0
+                if now_ms >= at:
+                    # we're late (driver overhead between rounds): anchor to
+                    # wall so the NEXT grant spaces from reality — a token
+                    # bucket with no burst accumulation, like the
+                    # reference's `delay - elapsed` wait (http.py:13-21)
+                    at = now_ms
+                else:
+                    time.sleep((at - now_ms) / 1000.0)
+            next_free[key] = at + eff_delay
+            return at
+
         for pdf in batches:
             out_html, out_status, out_at = [], [], []
             # optional robots pre-gate column (politeness.apply_robots):
@@ -120,8 +157,9 @@ def make_fetch_stage(
                 if "robots_allowed" in pdf.columns
                 else [True] * len(pdf)
             )
-            for url_canon, domain, attempts, allowed_by_rules in zip(
-                pdf["url_canon"], pdf["domain"], pdf["attempts"], gate
+            for url_canon, domain, salt, attempts, allowed_by_rules in zip(
+                pdf["url_canon"], pdf["domain"], pdf["domain_salt"],
+                pdf["attempts"], gate
             ):
                 if not allowed_by_rules:
                     out_html.append(None)
@@ -157,23 +195,15 @@ def make_fetch_stage(
                     # failed request — budget IS spent (the request went out);
                     # Retry-After style → TRANSIENT (in-run re-enqueue, ST8),
                     # hard failure → FAIL (terminal this run, ST5)
-                    eff_delay = delay_ms * n_salts
-                    at = max(next_free.get(domain, 0.0), 0.0)
-                    next_free[domain] = at + eff_delay
+                    at = _grant(salt, delay_ms * n_salts)
                     out_html.append(None)
                     out_status.append(
                         FETCH_TRANSIENT if retry_after else FETCH_FAIL
                     )
                     out_at.append(at)
                     continue
-                eff_delay = delay_ms * n_salts  # shard's share of the budget
-                at = max(next_free.get(domain, 0.0), 0.0)
-                next_free[domain] = at + eff_delay
-                if real_sleep:
-                    target = t0 + at / 1000.0
-                    lag = target - time.monotonic()
-                    if lag > 0:
-                        time.sleep(lag)
+                # shard's share of the budget: delay × n_salts per shard
+                at = _grant(salt, delay_ms * n_salts)
                 out_html.append(_pad(html, weight_kb))
                 out_status.append(FETCH_OK)
                 out_at.append(at)
@@ -205,6 +235,8 @@ def fetch(
     n_salts: int,
     real_sleep: bool = False,
     robots_rules_bc=None,
+    start_offsets: dict[str, float] | None = None,
+    t0_wall: float | None = None,
 ) -> DataFrame:
     """Repartition by domain_salt (the one shuffle of the fetch path) and run
     the politeness-governed batch fetch."""
@@ -217,6 +249,7 @@ def fetch(
     stage = make_fetch_stage(
         page_store_bc, n_salts, real_sleep=real_sleep,
         robots_rules_bc=robots_rules_bc,
+        start_offsets=start_offsets, t0_wall=t0_wall,
     )
     # Pin the partition COUNT: the rows entering this exchange are tiny
     # (frontier keys — the heavy html appears on the OUTPUT of the stage),

@@ -330,3 +330,39 @@ def test_missing_pages_terminal_not_retried(spark, tmp_path):
     # no flaky pages in this graph → nothing is legitimately retryable;
     # before the fix MISSING rows were FAILED and re-enqueued here forever
     assert eng.retry_failed() == 0
+
+
+def test_politeness_clock_continuous_across_rounds(spark, tmp_path):
+    """ST7 run-level budget (VERDICT r2 #2): the token-bucket clock must NOT
+    re-zero at round boundaries — the reference's limiter lives for the whole
+    process (core/http.py:13-21). The final per-salt high-water mark must
+    cover ALL of the run's budget-consuming fetches at the configured
+    spacing, (n_granted − 1) × delay × n_salts, not just the last round's."""
+    from realestate_scraper_spark.sources.synth import DOMAINS
+
+    _, _, graph = build_corpus(seed=11, n_pages=3, cards_per_page=4)
+    eng = CrawlEngine(spark, str(tmp_path / "run"), graph, n_salts=1)
+    eng.seed(seed_urls())
+    per_round = []
+    while eng._one_round()[0]:
+        per_round.append(dict(eng._salt_clock))
+    assert len(per_round) >= 3, "crawl too shallow to cross round boundaries"
+    # monotone: a later round never rewinds a salt's clock
+    for a, b in zip(per_round, per_round[1:]):
+        for k in a:
+            assert b.get(k, a[k]) >= a[k]
+    # run-level spacing: in this graph (no flaky/missing/lookahead) the
+    # budget-consuming fetches are exactly the DONE frontier rows
+    delay_by_domain = {DOMAINS[s]: CRAWL_DELAY_MS[s] for s in DOMAINS}
+    granted = {
+        r["domain_salt"]: r["n"]
+        for r in eng.frontier()
+        .filter(F.col("status") == "DONE")
+        .groupBy("domain_salt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    final = per_round[-1]
+    for salt, n in granted.items():
+        eff = delay_by_domain[salt.rsplit("#", 1)[0]]  # n_salts=1
+        assert final[salt] >= (n - 1) * eff - 1e-6, (salt, n, final[salt])
