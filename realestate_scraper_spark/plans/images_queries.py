@@ -61,18 +61,20 @@ def q51_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q52_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full crawl of the synthetic 4-portal web (mock fetch, politeness,
-    Bloom dedup, parse, refine) returning the offers table — the engine's
-    flagship path as a single query."""
+    Bloom dedup, bucketed seen store, parse, refine) returning the offers
+    table — the engine's flagship path as a single query. Corpus kept small
+    (2 pages × 5 cards per portal) so the query fits any per-run time
+    budget; the bench (bench.py) is where the crawl runs at depth."""
     import tempfile
 
     from realestate_scraper_spark.crawl.engine import CrawlEngine
     from realestate_scraper_spark.sources.synth import seed_urls
 
-    _, _, graph = build_corpus(seed=42, n_pages=3, cards_per_page=6)
+    _, _, graph = build_corpus(seed=42, n_pages=2, cards_per_page=5)
     run_dir = tempfile.mkdtemp(prefix="crawl_q52_")
     eng = CrawlEngine(spark, run_dir, graph, n_salts=2)
     eng.seed(seed_urls())
-    eng.run(max_rounds=10)
+    eng.run(max_rounds=8)
     return eng.offers()
 
 

@@ -52,11 +52,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 N_SEEDS = 4  # minhash signature length
 HEX = "0123456789abcdef"
 
-# 8 LSH hyperplanes × 64 dims, deterministic literals (sin grid rounded to 6
-# decimals at module import — NO trig inside either engine at query time).
-LSH_PLANES: list[list[float]] = [
-    [round(math.sin(j * 131 + d * 7.0), 6) for d in range(64)] for j in range(8)
-]
+# LSH hyperplanes: deterministic literals (sin grid rounded to 6 decimals at
+# module import — NO trig inside either engine at query time). Plane count /
+# dimensionality are production knobs; the oracle pins 8 × 64.
+def lsh_planes(n_planes: int = 8, dims: int = 64) -> list[list[float]]:
+    return [
+        [round(math.sin(j * 131 + d * 7.0), 6) for d in range(dims)]
+        for j in range(n_planes)
+    ]
+
+
+LSH_PLANES: list[list[float]] = lsh_planes(8, 64)
 
 
 def _augmented_docs_sql() -> str:
@@ -108,17 +114,54 @@ _SHINGLES_SQL = """
 """
 
 
-def _minhash_sigs(spark, sf_dir) -> DataFrame:
-    """(doc_id, sig0..sig3): per-seed lexicographic min over md5(seed|shingle)."""
+def minhash_signatures(spark, sf_dir, n_seeds: int = N_SEEDS) -> DataFrame:
+    """(doc_id, sig0..sig{n-1}): per-seed lexicographic min over
+    md5(seed|shingle). ``n_seeds`` is the production width knob (the oracle
+    queries pin it at the toy N_SEEDS=4; a real pipeline runs 64-128) — the
+    plan shape is identical at any width: one narrow explode, map-side
+    partial min per seed, one groupBy(doc_id) shuffle."""
     docs = _augmented_docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"sig{s}")
-        for s in range(N_SEEDS)
+        for s in range(n_seeds)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    spark,
+    sf_dir,
+    n_seeds: int = N_SEEDS,
+    rows_per_band: int = 2,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """LSH banding at ANY (n_seeds, rows_per_band): candidate pairs sharing
+    at least one full band — the union of one bucket equi-join per band,
+    deduped. Each band join shuffles on its own band key (canonical LSH at
+    scale: bands are independent, so the joins parallelize; salt hot band
+    buckets like hot crawl domains)."""
+    if sigs is None:
+        sigs = minhash_signatures(spark, sf_dir, n_seeds).cache()
+    n_bands = n_seeds // rows_per_band
+    out = None
+    for band in range(n_bands):
+        cols = [f"sig{band * rows_per_band + j}" for j in range(rows_per_band)]
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for c in cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        p = (
+            sigs.alias("a")
+            .join(sigs.alias("b"), cond)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
 
 
 _MINHASH_SQL = f"""
@@ -174,38 +217,35 @@ def q31_minhash_signatures(spark, sf_dir):
     Lexicographic min over md5 hex is a valid uniform minhash and is
     byte-identical across engines. Shuffle: one groupBy(doc_id) — at scale
     the explode stays narrow and partial-min combines map-side."""
-    return _minhash_sigs(spark, sf_dir)
+    return minhash_signatures(spark, sf_dir)
 
 
 # --------------------------------------------------------------------- q32
 @_reg(
     "q32_minhash_band_pairs",
     f"""
-    WITH sigs AS ({_MINHASH_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sigs a JOIN sigs b
-      ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
+    WITH sigs AS ({_MINHASH_SQL}),
+    band0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigs a JOIN sigs b
+                ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id),
+    band1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigs a JOIN sigs b
+                ON a.sig2 = b.sig2 AND a.sig3 = b.sig3 AND a.doc_id < b.doc_id)
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT * FROM band0 UNION ALL SELECT * FROM band1)
     """,
 )
 def q32_minhash_band_pairs(spark, sf_dir):
-    """LSH banding: candidate pairs sharing band (sig0, sig1) — the
-    bucket-equi-join that replaces the O(n²) comparison. The constructed
-    near-dup copies (one appended word) collide here with high probability.
+    """LSH banding: candidate pairs sharing at least one full band of the
+    4-seed signature (2 bands × 2 rows) — the bucket-equi-join union that
+    replaces the O(n²) comparison. The constructed near-dup copies (one
+    appended word) collide here with high probability.
 
-    The signature frame is cached: the self-join consumes it twice, and the
-    shingle-explode pipeline behind it is the expensive part (at cluster
-    scale you would materialize signatures to a table instead)."""
-    sigs = _minhash_sigs(spark, sf_dir).cache()
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return a.join(
-        b,
-        (F.col("a.sig0") == F.col("b.sig0"))
-        & (F.col("a.sig1") == F.col("b.sig1"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
+    Band count / width are parameters of :func:`minhash_band_pairs` (the
+    oracle pins the toy 4×2 shape); the signature frame is cached because
+    every band join consumes it and the shingle-explode pipeline behind it
+    is the expensive part (at cluster scale you'd materialize signatures)."""
+    return minhash_band_pairs(spark, sf_dir, n_seeds=N_SEEDS, rows_per_band=2)
 
 
 # --------------------------------------------------------------------- q33
@@ -300,11 +340,14 @@ def _simhash_sql() -> str:
     """
 
 
-@_reg("q34_simhash", _simhash_sql())
-def q34_simhash(spark, sf_dir):
-    """SimHash (16-bit) fingerprinting: per-token md5 → bit votes → majority.
-    Pure integer expressions; at 64 bits the same plan just widens the vote
-    columns (kept at 16 here so the oracle SQL stays legible)."""
+def simhash(spark, sf_dir, n_bits: int = 16) -> DataFrame:
+    """SimHash at ANY width ≤ 60: per-token md5 → n_bits bit votes →
+    majority recompose. Pure integer expressions (shiftright keeps the bit
+    extraction exact at wide hashes — no float division); widening just adds
+    vote columns (the oracle pins n_bits=16 so the SQL stays legible;
+    production 64-bit splits into two 32-bit halves of the same plan).
+    Output column is named ``simhash{n_bits}``."""
+    assert 1 <= n_bits <= 60, "signed-long construction caps the width"
     toks = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
@@ -312,23 +355,33 @@ def q34_simhash(spark, sf_dir):
     h = F.md5(F.col("tok"))
 
     def hexval(pos: int):
-        return F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1
+        return (F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1).cast("long")
 
-    v = hexval(1) * 4096 + hexval(2) * 256 + hexval(3) * 16 + hexval(4)
+    n_hex = (n_bits + 3) // 4
+    v = None
+    for p in range(n_hex):
+        term = hexval(p + 1) * F.lit(16 ** (n_hex - 1 - p)).cast("long")
+        v = term if v is None else v + term
     vals = toks.select("doc_id", v.alias("v"))
     bit_aggs = [
         F.sum(
-            F.when((F.col("v").cast("long") / (1 << j)).cast("long") % 2 == 1, 1)
-            .otherwise(-1)
+            F.when(F.shiftright(F.col("v"), j) % 2 == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(n_bits)
     ]
     bits = vals.groupBy("doc_id").agg(*bit_aggs)
     sim = None
-    for j in range(16):
+    for j in range(n_bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return bits.select("doc_id", sim.alias("simhash16"))
+    return bits.select("doc_id", sim.cast("long").alias(f"simhash{n_bits}"))
+
+
+@_reg("q34_simhash", _simhash_sql())
+def q34_simhash(spark, sf_dir):
+    """SimHash (16-bit) fingerprinting: per-token md5 → bit votes → majority.
+    Width is a parameter of :func:`simhash` (toy 16 pinned by the oracle)."""
+    return simhash(spark, sf_dir, n_bits=16)
 
 
 # --------------------------------------------------------------------- q35
@@ -513,6 +566,33 @@ def _lsh_plane_sql(j: int) -> str:
     return f"CASE WHEN list_dot_product(v, {lit}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END"
 
 
+def lsh_bucket_expr(v_col, n_planes: int = 8):
+    """Hyperplane-sign bucket id of an embedding column, at any plane count
+    (production knob; the oracle pins 8)."""
+    planes = lsh_planes(n_planes)
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(v_col, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def lsh_buckets(spark, sf_dir, n_planes: int = 8) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return e.select(
+        "vec_id", lsh_bucket_expr(F.col("v"), n_planes).alias("bucket")
+    )
+
+
 @_reg(
     "q40_ann_lsh_buckets",
     f"""
@@ -526,21 +606,7 @@ def q40_ann_lsh_buckets(spark, sf_dir):
     Candidate generation = equi-join on bucket (plus neighbor buckets for
     multi-probe) instead of a cross join; hyperplanes are fixed literals so
     both engines compute identical signs."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    bucket = None
-    for j in range(8):
-        plane = F.array(*[F.lit(x) for x in LSH_PLANES[j]])
-        dot = F.aggregate(
-            F.zip_with("v", plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return e.select("vec_id", bucket.alias("bucket"))
+    return lsh_buckets(spark, sf_dir, n_planes=8)
 
 
 # --------------------------------------------------------------------- q41
@@ -693,6 +759,158 @@ _IVF_SQL = """
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
       FROM scored) WHERE rk <= 3
 """
+
+
+# --------------------------------------------------------------------- q53
+def _lsh_bucket_sql(col: str, n_planes: int = 8) -> str:
+    terms = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in LSH_PLANES[j]) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({col}, {lit}::DOUBLE[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_RECALL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qry AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id >= 8 AND vec_id < 13),
+    cand AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 16),
+    gt AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, c.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+                 DESC, c.cand_id) AS rk
+        FROM qry q CROSS JOIN cand c) WHERE rk <= 3),
+    ivf AS (SELECT query_id, cand_id FROM ({_IVF_SQL})),
+    qb AS (SELECT query_id, qv, {_lsh_bucket_sql("qv")} AS bucket FROM qry),
+    cb AS (SELECT cand_id, v, {_lsh_bucket_sql("v")} AS bucket FROM cand),
+    lsh AS (
+      SELECT query_id, cand_id FROM (
+        SELECT qb.query_id, cb.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY qb.query_id ORDER BY
+                 list_dot_product(qb.qv, cb.v) /
+                 (sqrt(list_dot_product(qb.qv, qb.qv)) * sqrt(list_dot_product(cb.v, cb.v)))
+                 DESC, cb.cand_id) AS rk
+        FROM qb JOIN cb ON cb.bucket = qb.bucket) WHERE rk <= 3),
+    qprobes AS (
+      SELECT query_id, qv, unnest([qb.bucket,
+             {", ".join(f"xor(qb.bucket, {1 << j})" for j in range(8))}])
+             AS bucket
+      FROM qb),
+    lsh_mp AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, cb.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 list_dot_product(p.qv, cb.v) /
+                 (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(cb.v, cb.v)))
+                 DESC, cb.cand_id) AS rk
+        FROM qprobes p JOIN cb ON cb.bucket = p.bucket) WHERE rk <= 3),
+    n AS (SELECT COUNT(*) AS n_gt FROM gt)
+    SELECT method, FLOOR(hits * 1.0 / n_gt * 10000 + 0.5) / 10000.0 AS recall
+    FROM (
+      SELECT 'ivf' AS method,
+             (SELECT COUNT(*) FROM ivf i JOIN gt g
+               ON g.query_id = i.query_id AND g.cand_id = i.cand_id) AS hits
+      UNION ALL
+      SELECT 'lsh_exact' AS method,
+             (SELECT COUNT(*) FROM lsh l JOIN gt g
+               ON g.query_id = l.query_id AND g.cand_id = l.cand_id) AS hits
+      UNION ALL
+      SELECT 'lsh_probe1' AS method,
+             (SELECT COUNT(*) FROM lsh_mp l JOIN gt g
+               ON g.query_id = l.query_id AND g.cand_id = l.cand_id) AS hits
+    ) CROSS JOIN n
+"""
+
+
+@_reg("q53_ann_recall", _RECALL_SQL)
+def q53_ann_recall(spark, sf_dir):
+    """Recall@3 of the approximate candidate generators against brute-force
+    cosine ground truth on the SAME query/candidate split: IVF (q44,
+    nprobe=2), exact-bucket LSH (q40 buckets + in-bucket rerank), and
+    multi-probe LSH (the query probes its bucket plus all Hamming-1
+    neighbours — 9 buckets — the standard recall fix that keeps the
+    equi-join shape). This is the metric that matters at 100 TB: a bucket
+    scheme that loses true neighbours is silently wrong no matter how fast
+    the equi-join is; exact-bucket recall documents exactly that risk."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qry = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.filter(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("cand_id"), "v"
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    gt = (
+        F.broadcast(qry)
+        .crossJoin(cand)
+        .withColumn("sim", cos(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    ivf = q44_ann_ivf(spark, sf_dir).select("query_id", "cand_id")
+    qb = qry.withColumn("bucket", lsh_bucket_expr(F.col("qv")))
+    cb = cand.withColumn("bucket", lsh_bucket_expr(F.col("v")))
+    lsh = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .withColumn("sim", cos(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    # multi-probe: each query also probes its 8 Hamming-1 neighbour buckets
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << j) for j in range(8)]
+    )
+    qprobes = qb.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    lsh_mp = (
+        F.broadcast(qprobes)
+        .join(cb, "bucket")
+        .withColumn("sim", cos(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    n_gt = gt.groupBy().agg(F.count("*").alias("n_gt"))
+
+    def rec(method: str, retrieved: DataFrame) -> DataFrame:
+        hits = retrieved.join(gt, ["query_id", "cand_id"]).groupBy().agg(
+            F.count("*").alias("hits")
+        )
+        return hits.crossJoin(n_gt).select(
+            F.lit(method).alias("method"),
+            (
+                F.floor(F.col("hits") * 1.0 / F.col("n_gt") * 10000 + 0.5)
+                / 10000.0
+            ).alias("recall"),
+        )
+
+    return (
+        rec("ivf", ivf)
+        .unionByName(rec("lsh_exact", lsh))
+        .unionByName(rec("lsh_probe1", lsh_mp))
+    )
 
 
 @_reg("q44_ann_ivf", _IVF_SQL)
