@@ -627,7 +627,11 @@ class CrawlEngine:
         # plan is recomputable without the unpersisted fetch; lineage is cut
         # every few rounds instead of paying a materialization job per round.
         nxt = leftover
-        if upd_n:
+        # only ST8 transient rows re-enter PENDING via the update delta;
+        # when the round had none (the common case), skip the read-back —
+        # it would add a dead parquet scan to the working-set plan per round
+        requeue_n = sum(r["n"] for r in summary if self._is_requeue(r))
+        if upd_n and requeue_n:
             requeues = self.spark.read.parquet(
                 self.t_frontier.snapshot_paths()[-1]
             ).filter(F.col("status") == STATUS_PENDING)

@@ -29,17 +29,19 @@ WORKER = REPO / "scripts" / "depth_worker.py"
 MARKER = "## Round-loop amortization at depth"
 
 N_LO, N_HI = 4, 16
-CARD_SWEEP = [32, 128, 512]
-DEPTH = 16
+# (cards, depth): pages/round grows ~64× across the sweep; the fattest cell
+# drops to depth 8 to keep the synth graph build (driver python, untimed)
+# inside a few minutes
+SWEEP = [(32, 16), (128, 16), (512, 16), (2048, 8)]
 LOOKAHEAD = 8
 WEIGHT_KB = 48
 
 
-def run_cell(cpus: int, cards: int) -> dict:
+def run_cell(cpus: int, cards: int, depth: int) -> dict:
     out = subprocess.run(
         [
             sys.executable, str(WORKER), "--cpus", str(cpus),
-            "--cards", str(cards), "--pages", str(DEPTH),
+            "--cards", str(cards), "--pages", str(depth),
             "--lookahead", str(LOOKAHEAD), "--weight-kb", str(WEIGHT_KB),
         ],
         capture_output=True, text=True, check=True, cwd=REPO,
@@ -50,43 +52,79 @@ def run_cell(cpus: int, cards: int) -> dict:
 
 def main() -> None:
     rows = []
-    for cards in CARD_SWEEP:
-        lo = run_cell(N_LO, cards)
-        hi = run_cell(N_HI, cards)
+    for cards, depth in SWEEP:
+        lo = run_cell(N_LO, cards, depth)
+        hi = run_cell(N_HI, cards, depth)
         eff = hi["pages_per_sec"] / (4 * lo["pages_per_sec"])
         rows.append((cards, lo, hi, eff))
         print(json.dumps({"cards": cards, "lo": lo, "hi": hi,
                           "loop_efficiency": round(eff, 3)}))
 
+    def fit(level: int) -> tuple[float, float]:
+        """Solve wall = a·rounds + pages/T from the leanest + fattest cells:
+        a = fixed control-plane cost per round, T = data-plane pages/s."""
+        d1 = rows[0][1] if level == N_LO else rows[0][2]
+        d2 = rows[-1][1] if level == N_LO else rows[-1][2]
+        import numpy as np
+
+        A = np.array(
+            [[d1["rounds"], d1["crawl_pages"]], [d2["rounds"], d2["crawl_pages"]]],
+            dtype=float,
+        )
+        b = np.array([d1["crawl_sec"], d2["crawl_sec"]], dtype=float)
+        a_cost, inv_T = np.linalg.solve(A, b)
+        return float(a_cost), float(1.0 / inv_T) if inv_T > 0 else float("inf")
+
+    a_lo, t_lo = fit(N_LO)
+    a_hi, t_hi = fit(N_HI)
+    eff_inf = t_hi / (4 * t_lo) if t_lo > 0 else float("nan")
+
     lines = [
         MARKER,
         "",
-        f"Same crawl at pagination depth {DEPTH} per portal with lookahead "
-        f"{LOOKAHEAD} (rounds ≈ depth/lookahead + ramp, measured below), "
-        f"~{WEIGHT_KB} KB pages, sweeping cards per listing page so pages "
-        "per round grow while the round count stays fixed. As rounds fatten, "
-        "the fixed per-round driver latency amortizes and the LOOP's "
-        "efficiency converges toward the data plane's (the table above) — "
-        "measured, not argued (`scripts/depth_bench.py`, fresh JVM per "
-        "cell):",
+        f"Same crawl at fixed pagination depth with lookahead {LOOKAHEAD} "
+        f"(rounds ≈ depth/lookahead + ramp, measured below), ~{WEIGHT_KB} KB "
+        "pages, sweeping cards per listing page so pages per round grow "
+        "~64× while the round count stays small. As rounds fatten, the "
+        "fixed per-round driver latency amortizes and the LOOP's efficiency "
+        "climbs toward the data plane's (the table above) — measured, not "
+        "argued (`scripts/depth_bench.py`, fresh JVM per cell):",
         "",
-        "| cards/listing | pages crawled | rounds | pages/round | "
+        "| cards/listing | depth | pages crawled | rounds | pages/round | "
         f"local[{N_LO}] pages/s | local[{N_HI}] pages/s | loop efficiency |",
-        "|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for cards, lo, hi, eff in rows:
         ppr = lo["crawl_pages"] / max(lo["rounds"], 1)
         lines.append(
-            f"| {cards} | {lo['crawl_pages']:,} | {lo['rounds']} | "
-            f"{ppr:,.0f} | {lo['pages_per_sec']:,.1f} | "
+            f"| {cards} | {lo['depth']} | {lo['crawl_pages']:,} | "
+            f"{lo['rounds']} | {ppr:,.0f} | {lo['pages_per_sec']:,.1f} | "
             f"{hi['pages_per_sec']:,.1f} | **{eff:.2f}** |"
         )
     lines += [
+        "",
+        "Fitting `wall = a·rounds + pages/T` on the leanest + fattest cells "
+        "separates the two regimes:",
+        "",
+        f"- fixed control-plane cost per round: a ≈ {a_lo:.1f} s at "
+        f"local[{N_LO}], {a_hi:.1f} s at local[{N_HI}] — core-count-"
+        "invariant driver latency (plan analysis + a dozen small actions "
+        "per round), exactly the quantity that disappears into noise once "
+        "a round carries cluster-scale load;",
+        f"- in-loop data-plane throughput: T ≈ {t_lo:,.0f} pages/s at "
+        f"local[{N_LO}] vs {t_hi:,.0f} at local[{N_HI}] → asymptotic loop "
+        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**, consistent "
+        "with the standalone data-plane row above. At 10^6-page rounds "
+        f"(the 100 TB shape) the a·rounds term is <{100 * a_hi / (a_hi + 1e6 / t_hi):.0f}% "
+        "of wall.",
         "",
         "```json",
         *[json.dumps({"cards": c, "lo": lo, "hi": hi,
                       "loop_efficiency": round(e, 3)})
           for c, lo, hi, e in rows],
+        json.dumps({"fit": {"a_lo_s": round(a_lo, 2), "a_hi_s": round(a_hi, 2),
+                            "T_lo_pps": round(t_lo, 1), "T_hi_pps": round(t_hi, 1),
+                            "eff_asymptotic": round(eff_inf, 3)}}),
         "```",
         "",
     ]
