@@ -186,6 +186,13 @@ def make_fetch_stage(
                     out_at.append(-1.0)
                     continue
                 html, allow, delay_ms, flaky, retry_after, weight_kb = rec
+                # a robots.txt Crawl-delay larger than the configured budget
+                # wins (the polite maximum of the two; the reference has no
+                # robots handling — north_rule addition)
+                if rules is not None:
+                    r = rules.get(domain)
+                    if r is not None and r.crawl_delay_ms is not None:
+                        delay_ms = max(delay_ms, r.crawl_delay_ms)
                 if not allow:
                     out_html.append(None)
                     out_status.append(FETCH_ROBOTS)

@@ -366,3 +366,37 @@ def test_politeness_clock_continuous_across_rounds(spark, tmp_path):
     for salt, n in granted.items():
         eff = delay_by_domain[salt.rsplit("#", 1)[0]]  # n_salts=1
         assert final[salt] >= (n - 1) * eff - 1e-6, (salt, n, final[salt])
+
+
+def test_robots_crawl_delay_overrides_smaller_budget(spark, tmp_path):
+    """A robots.txt Crawl-delay LARGER than the configured per-domain budget
+    must win: the polite delay is the max of the two. The synth graph's
+    otodom delay is 50 ms; a rules table demanding 400 ms must stretch the
+    virtual schedule accordingly."""
+    from realestate_scraper_spark.crawl.politeness import RobotsRules
+    from realestate_scraper_spark.sources.synth import DOMAINS
+
+    _, _, graph = build_corpus(seed=5, n_pages=2, cards_per_page=4)
+    rules = {
+        DOMAINS[s]: RobotsRules(domain=DOMAINS[s], crawl_delay_ms=400)
+        for s in DOMAINS
+    }
+    eng = CrawlEngine(
+        spark, str(tmp_path / "run"), graph, n_salts=1, robots_rules=rules
+    )
+    eng.seed(seed_urls())
+    eng.run(max_rounds=8)
+    granted = {
+        r["domain_salt"]: r["n"]
+        for r in eng.frontier()
+        .filter(F.col("status") == "DONE")
+        .groupBy("domain_salt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for salt, n in granted.items():
+        # final virtual clock must reflect 400 ms spacing, not the store's
+        # 50-100 ms
+        assert eng._salt_clock[salt] >= (n - 1) * 400 - 1e-6, (
+            salt, n, eng._salt_clock[salt],
+        )
