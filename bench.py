@@ -97,8 +97,14 @@ def main() -> None:
     )
     from realestate_scraper_spark.schemas import IMAGES_SCHEMA
 
-    img_df = spark.createDataFrame(images, schema=IMAGES_SCHEMA).repartition(cpus)
-    img_df.cache().count()
+    # stage the image corpus through parquet (untimed): the timed decode
+    # reads a TABLE, like process_images at scale — no driver-held rows
+    # serialized into tasks (the r2 "task of very large size" WARN)
+    img_path = os.path.join(tempfile.mkdtemp(prefix="bench_imgs_"), "images")
+    spark.createDataFrame(images, schema=IMAGES_SCHEMA).coalesce(
+        8
+    ).write.parquet(img_path)
+    img_df = spark.read.parquet(img_path).repartition(cpus)
     n_images = img_df.count()
     t0 = time.monotonic()
     _force(
