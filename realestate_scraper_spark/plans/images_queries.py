@@ -20,10 +20,22 @@ from realestate_scraper_spark.sources.synth import build_corpus
 
 REGISTRY: dict = {}
 
+_STAGED: dict = {}
+
 
 def _images_df(spark: SparkSession, n_pages: int = 3) -> DataFrame:
-    _, images, _ = build_corpus(seed=42, n_pages=n_pages, cards_per_page=6)
-    return spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+    """Images table staged through parquet (once per process): the queries
+    read a TABLE, like process_images at scale — no driver-held blobs
+    serialized into every task that scans the images."""
+    path = _STAGED.get(n_pages)
+    if path is None:
+        import tempfile
+
+        _, images, _ = build_corpus(seed=42, n_pages=n_pages, cards_per_page=6)
+        path = tempfile.mkdtemp(prefix="images_q_") + "/images"
+        spark.createDataFrame(images, schema=IMAGES_SCHEMA).write.parquet(path)
+        _STAGED[n_pages] = path
+    return spark.read.parquet(path)
 
 
 def q50_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
