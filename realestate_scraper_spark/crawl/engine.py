@@ -55,6 +55,8 @@ from __future__ import annotations
 import os
 import time
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -193,6 +195,24 @@ class CrawlEngine:
         # same as the reference's process-lifetime limiter (http.py:13-21).
         self._salt_clock: dict[str, float] = {}
         self._wall_t0: float | None = None
+        # cumulative per-phase wall (driver-observed) across the run —
+        # feeds scripts/depth_bench.py's fixed-cost attribution; always on
+        # (two time.monotonic() calls per phase, negligible)
+        self.phase_times: dict[str, float] = defaultdict(float)
+        # one worker: the staged-offers append overlaps the frontier path
+        # within a round (Spark schedules concurrent jobs from separate
+        # driver threads); a single thread keeps t_staged appends ordered
+        self._staged_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="staged"
+        )
+
+    @contextmanager
+    def _phase(self, name: str):
+        t0 = time.monotonic()
+        try:
+            yield
+        finally:
+            self.phase_times[name] += time.monotonic() - t0
 
     # ------------------------------------------------------------- seeding
     def seed(self, seeds: list[tuple[str, str]]) -> None:
@@ -315,9 +335,10 @@ class CrawlEngine:
                     self._stopped.setdefault(src, "offer_limit")
                 self._write_checkpoint()
                 break
-        self._flush_metrics()
-        self._compact_frontier()
-        self.finalize_curated()
+        with self._phase("run_finalize"):
+            self._flush_metrics()
+            self._compact_frontier()
+            self.finalize_curated()
         return stats
 
     def _flush_metrics(self) -> None:
@@ -469,28 +490,30 @@ class CrawlEngine:
         # count) for pipelines that want the column.
         if self.real_sleep and self._wall_t0 is None:
             self._wall_t0 = time.time()
-        fetched = fetch_mod.fetch(
-            batch, self.page_store_bc, self.n_salts,
-            real_sleep=self.real_sleep,
-            robots_rules_bc=self._robots_bc(),
-            start_offsets=dict(self._salt_clock),
-            t0_wall=self._wall_t0,
-        ).cache()
+        with self._phase("fetch_plan"):
+            fetched = fetch_mod.fetch(
+                batch, self.page_store_bc, self.n_salts,
+                real_sleep=self.real_sleep,
+                robots_rules_bc=self._robots_bc(),
+                start_offsets=dict(self._salt_clock),
+                t0_wall=self._wall_t0,
+            ).cache()
 
         # ---- ACTION 1: fetch summary (batch size, lineage counters, status
         #      mix, per-page yield accounting, politeness high-water marks)
         #      in one aggregation.
-        summary = (
-            fetched.groupBy(
-                "source", "domain_salt", "kind", "fetch_status", "page_idx",
-                "attempts",
+        with self._phase("fetch_summary"):
+            summary = (
+                fetched.groupBy(
+                    "source", "domain_salt", "kind", "fetch_status",
+                    "page_idx", "attempts",
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.max("fetched_at_ms").alias("max_at"),
+                )
+                .collect()
             )
-            .agg(
-                F.count("*").alias("n"),
-                F.max("fetched_at_ms").alias("max_at"),
-            )
-            .collect()
-        )
         batch_n = sum(r["n"] for r in summary)
         # advance the cross-round politeness clock (ST7); rows that spent no
         # budget (robots/missing) record -1 and are ignored
@@ -518,6 +541,16 @@ class CrawlEngine:
                 and r["fetch_status"] != fetch_mod.FETCH_MISSING
             ):
                 listing_pages_fetched[r["source"]].add(r["page_idx"])
+
+        # ---- offers → parse → refine → ONE staged append (raw zone);
+        #      curated tables are views finalized once per run. Submitted to
+        #      the staging thread FIRST so it overlaps the frontier path
+        #      below: the two touch DISJOINT tables (t_staged vs
+        #      t_frontier/seen/bloom) and both read only the
+        #      already-materialized `fetched` cache, so the round's two
+        #      independent output jobs share the executor pool instead of
+        #      serializing driver-submission latency.
+        staged_fut = self._staged_pool.submit(self._stage_offers, fetched)
 
         # ---- listings + investment pages → new frontier candidates
         listings = fetched.filter(F.col("kind").isin("listing", "investment"))
@@ -556,16 +589,22 @@ class CrawlEngine:
                 )
             )
             links = links.unionByName(look)
-        candidates = frontier_mod.classify_and_key_links(links, self.n_salts)
-        fresh = frontier_mod.anti_join_seen(candidates, self._seen(), self.bloom)
+        with self._phase("links_plan"):
+            candidates = frontier_mod.classify_and_key_links(
+                links, self.n_salts
+            )
+            fresh = frontier_mod.anti_join_seen(
+                candidates, self._seen(), self.bloom
+            )
 
         # ---- ACTION 2: insert delta (O(new rows)); read back disk-backed
         new_rows = frontier_mod.finish_new_rows(fresh, self.round_idx)
-        ins_n = self.t_frontier.append(
-            self._coalesced(new_rows.select(*FRONTIER_COLS)),
-            round_idx=self.round_idx,
-            stage="insert",
-        )
+        with self._phase("insert_append"):
+            ins_n = self.t_frontier.append(
+                self._coalesced(new_rows.select(*FRONTIER_COLS)),
+                round_idx=self.round_idx,
+                stage="insert",
+            )
         new_df = (
             self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
             if ins_n
@@ -575,52 +614,41 @@ class CrawlEngine:
         new_offer_counts: dict[str, int] = defaultdict(int)
         if new_df is not None:
             # seen-store append: O(new URLs), bucketed (url_canon only)
-            self.seen_store.append(new_df)
+            with self._phase("seen_append"):
+                self.seen_store.append(new_df)
             # Bloom delta: built distributed per shard, OR-merged driver-side
             # (~KB bitmaps) — no row collect (north_rule Bloom lifecycle)
-            self.bloom.merge(
-                ShardedBloom.build(
-                    new_df,
-                    expected_per_shard=self.bloom.expected_per_shard,
-                    fpp=self.bloom_fpp,
+            with self._phase("bloom_build"):
+                self.bloom.merge(
+                    ShardedBloom.build(
+                        new_df,
+                        expected_per_shard=self.bloom.expected_per_shard,
+                        fpp=self.bloom_fpp,
+                    )
                 )
-            )
-            agg = self._new_rows_agg(new_df)
+            with self._phase("new_rows_agg"):
+                agg = self._new_rows_agg(new_df)
             self._track_new_agg(agg)
             for r in agg:
                 new_n += r["n"]
                 if r["kind"] != "listing":  # offers + investments = yield
                     new_offer_counts[r["source"]] += r["n"]
 
-        # ---- offers → parse → refine → ONE staged append (raw zone);
-        #      curated tables are views finalized once per run.
-        offers_fetched = fetched.filter(
-            (F.col("kind") == "offer") & (F.col("fetch_status") == fetch_mod.FETCH_OK)
-        )
-        parsed = offers_fetched.select(
-            "url", "url_canon", "source", "page_idx", "slot", "sub_slot", "html"
-        ).mapInPandas(parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS)
-        staged = refine_mod.refined(parsed).withColumn(
-            "round", F.lit(self.round_idx)
-        )
-        self.t_staged.append(
-            self._coalesced(staged),
-            round_idx=self.round_idx,
-            stage="staged",
-            partition_by=["is_valid"],
-        )
-        snap_path = self.t_staged.lineage()[-1]["path"]
-        offers_n = _rows_under(os.path.join(snap_path, "is_valid=true"))
+        # ---- join the overlapped staging job (see submit above)
+        with self._phase("staged_join"):
+            offers_n = staged_fut.result()
         self._offers_total += offers_n
 
         # ---- frontier transitions as an O(batch) UPDATE DELTA (latest-wins
         #      on read) — replaces the full-frontier join + rewrite.
-        updates = self._status_updates(fetched)
-        upd_n = self.t_frontier.append(
-            self._coalesced(updates.select(*FRONTIER_COLS)),
-            round_idx=self.round_idx,
-            stage="update",
-        )
+        with self._phase("updates_plan"):
+            updates = self._status_updates(fetched)
+        with self._phase("update_append"):
+            upd_n = self.t_frontier.append(
+                self._coalesced(updates.select(*FRONTIER_COLS)),
+                round_idx=self.round_idx,
+                stage="update",
+            )
 
         # ---- next working set: O(batch) unions whose roots are all ON DISK
         # (previous checkpoint + this round's delta parquet), so the lazy
@@ -641,7 +669,8 @@ class CrawlEngine:
         self._rounds_since_cut += 1
         if self._rounds_since_cut >= 4:
             prev = self._pending
-            self._pending = nxt.select(*FRONTIER_COLS).localCheckpoint()
+            with self._phase("lineage_cut"):
+                self._pending = nxt.select(*FRONTIER_COLS).localCheckpoint()
             self._rounds_since_cut = 0
             try:
                 prev.unpersist()
@@ -688,6 +717,34 @@ class CrawlEngine:
         self._write_checkpoint()
         fetched.unpersist()
         return True, batch_n, offers_n
+
+    def _stage_offers(self, fetched: DataFrame) -> int:
+        """Offers → parse cascade → refine → one staged append; returns the
+        round's valid-offer count (parquet footers, no extra job). Runs on
+        the staging thread — touches only t_staged and the fetched cache."""
+        with self._phase("staged_plan"):
+            offers_fetched = fetched.filter(
+                (F.col("kind") == "offer")
+                & (F.col("fetch_status") == fetch_mod.FETCH_OK)
+            )
+            parsed = offers_fetched.select(
+                "url", "url_canon", "source", "page_idx", "slot", "sub_slot",
+                "html",
+            ).mapInPandas(
+                parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS
+            )
+            staged = refine_mod.refined(parsed).withColumn(
+                "round", F.lit(self.round_idx)
+            )
+        with self._phase("staged_append"):
+            self.t_staged.append(
+                self._coalesced(staged),
+                round_idx=self.round_idx,
+                stage="staged",
+                partition_by=["is_valid"],
+            )
+        snap_path = self.t_staged.lineage()[-1]["path"]
+        return _rows_under(os.path.join(snap_path, "is_valid=true"))
 
     # ------------------------------------------------- round-loop helpers
     def _robots_bc(self):

@@ -74,6 +74,45 @@ def absolutize_href_expr(href, parent_url):
     )
 
 
+_CLASSIFY_COLS: dict | None = None
+
+
+def _classify_col_maps() -> tuple[dict, dict, Column]:
+    """Memoized projection maps for classify_and_key_links (built once per
+    process — these Column trees are identical every crawl round)."""
+    global _CLASSIFY_COLS
+    if _CLASSIFY_COLS is not None:
+        return _CLASSIFY_COLS
+    href_map = {
+        "href": absolutize_href_expr(F.col("href"), F.col("parent_url"))
+    }
+    page_from_url = F.regexp_extract(F.col("href"), _PAGE_PARAM_RE, 1)
+    is_listing = page_from_url != ""
+    is_investment = F.col("href").rlike(_INVESTMENT_RE)
+    from_investment = F.col("parent_kind") == "investment"
+    class_map = {
+        "kind": F.when(is_listing, "listing")
+        .when(is_investment, "investment")
+        .otherwise("offer"),
+        "page_idx": F.when(is_listing, page_from_url.cast("int")).otherwise(
+            F.col("page_idx")
+        ),
+        # depth-first order keys: investment children keep the investment's
+        # card slot and take their in-page position as sub_slot (W3)
+        "slot": F.when(from_investment, F.col("parent_slot")).otherwise(
+            F.col("dom_idx")
+        ),
+        "sub_slot": F.when(from_investment, F.col("dom_idx")).otherwise(
+            F.lit(0)
+        ),
+    }
+    # Order-preserving in-batch dedup (SO5): keep min (page_idx, slot).
+    w = Window.partitionBy("url_canon").orderBy("page_idx", "slot", "sub_slot")
+    rn = F.row_number().over(w)
+    _CLASSIFY_COLS = (href_map, class_map, rn)
+    return _CLASSIFY_COLS
+
+
 def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
     """Raw extracted links → typed frontier candidates.
 
@@ -86,49 +125,15 @@ def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
       discovered listing pages get their own page number from the URL.
     - in-batch dedup keeps the first DOM occurrence (SO5: order-preserving).
     """
-    from realestate_scraper_spark.crawl.refine import offer_id_expr
-
-    links = links.withColumn(
-        "href", absolutize_href_expr(F.col("href"), F.col("parent_url"))
-    )
-    page_from_url = F.regexp_extract(F.col("href"), _PAGE_PARAM_RE, 1)
-    is_listing = page_from_url != ""
-    is_investment = F.col("href").rlike(_INVESTMENT_RE)
-    from_investment = F.col("parent_kind") == "investment"
+    href_map, class_map, rn = _classify_col_maps()
     candidates = (
-        links.withColumn(
-            "kind",
-            F.when(is_listing, "listing")
-            .when(is_investment, "investment")
-            .otherwise("offer"),
-        )
-        .withColumn(
-            "page_idx",
-            F.when(is_listing, page_from_url.cast("int")).otherwise(
-                F.col("page_idx")
-            ),
-        )
-        # depth-first order keys: investment children keep the investment's
-        # card slot and take their in-page position as sub_slot (W3)
-        .withColumn(
-            "slot",
-            F.when(from_investment, F.col("parent_slot")).otherwise(F.col("dom_idx")),
-        )
-        .withColumn(
-            "sub_slot",
-            F.when(from_investment, F.col("dom_idx")).otherwise(F.lit(0)),
-        )
+        links.withColumns(href_map)
+        .withColumns(class_map)
         .withColumnRenamed("href", "url")
         .select("url", "source", "kind", "page_idx", "slot", "sub_slot")
     )
     keyed = with_url_keys(candidates, n_salts=n_salts)
-    # Order-preserving in-batch dedup (SO5): keep min (page_idx, slot).
-    w = Window.partitionBy("url_canon").orderBy("page_idx", "slot", "sub_slot")
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return keyed.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def _finish_frontier_rows(df: DataFrame, round_idx: int, n_salts: int) -> DataFrame:
@@ -154,8 +159,23 @@ def _finish_frontier_rows(df: DataFrame, round_idx: int, n_salts: int) -> DataFr
     )
 
 
+_FINISH_STATIC: dict | None = None
+
+
 def finish_new_rows(candidates: DataFrame, round_idx: int) -> DataFrame:
-    """Keyed candidates (from classify_and_key_links) → full frontier rows."""
+    """Keyed candidates (from classify_and_key_links) → full frontier rows.
+
+    All columns but the per-round ``round`` literal are memoized."""
+    global _FINISH_STATIC
+    if _FINISH_STATIC is None:
+        _FINISH_STATIC = {
+            "offer_id": F.lit(None).cast("string"),
+            "status": F.lit(STATUS_PENDING),
+            "priority": priority_expr(F.col("page_idx"), F.col("kind")),
+            "retry_at": F.lit(None).cast("double"),
+            "attempts": F.lit(0),
+        }
+    s = _FINISH_STATIC
     return candidates.select(
         "url",
         "url_canon",
@@ -168,12 +188,12 @@ def finish_new_rows(candidates: DataFrame, round_idx: int) -> DataFrame:
         "page_idx",
         "slot",
         "sub_slot",
-        F.lit(None).cast("string").alias("offer_id"),
-        F.lit(STATUS_PENDING).alias("status"),
+        s["offer_id"].alias("offer_id"),
+        s["status"].alias("status"),
         F.lit(round_idx).alias("round"),
-        priority_expr(F.col("page_idx"), F.col("kind")).alias("priority"),
-        F.lit(None).cast("double").alias("retry_at"),
-        F.lit(0).alias("attempts"),
+        s["priority"].alias("priority"),
+        s["retry_at"].alias("retry_at"),
+        s["attempts"].alias("attempts"),
     )
 
 

@@ -109,11 +109,23 @@ def range_ok_expr() -> Column:
     )
 
 
-def refined(parsed: DataFrame) -> DataFrame:
-    """parsed raw fields → canonical columns + is_valid + reject_reason.
+_REFINED_COLS: dict[str, Column] | None = None
 
-    Single expression pass; callers project the offers / quarantine views
-    from it (and the engine stages exactly this frame once per round)."""
+
+def _refined_col_map() -> dict[str, Column]:
+    """The refinement projection as a reusable ``{name: Column}`` map.
+
+    Built ONCE per process: every expression references only the parsed
+    ``raw_*`` input columns (never a sibling derived column — derived values
+    are shared as local Column objects), so the same immutable Columns apply
+    to every round's batch via a single ``withColumns`` call. Plan
+    CONSTRUCTION (~70 py4j expression builds) is paid once, not per crawl
+    round — at depth, rounds are driver-latency-bound and this was a
+    measured ~0.75 s/round of pure expression-tree rebuilding.
+    """
+    global _REFINED_COLS
+    if _REFINED_COLS is not None:
+        return _REFINED_COLS
     lat0, lon0 = F.col("raw_lat"), F.col("raw_lon")
     geo_ok = in_pl_bbox(lat0, lon0)
     lat = F.when(geo_ok, lat0)
@@ -161,54 +173,62 @@ def refined(parsed: DataFrame) -> DataFrame:
         F.round(implied_area, 2),
     ).otherwise(raw_area)
 
-    base = (
-        parsed.withColumn("lat", lat)
-        .withColumn("lon", lon)
-        .withColumn("area_m2", area)
-        .withColumn("price_amount", price)
-        .withColumn("price_currency", currency)
-        # city waterfall (L6-style coalesce cascade): page value first, URL
-        # slug token fallback second (F8)
-        .withColumn(
-            "city", F.coalesce(F.col("raw_city"), city_from_slug(F.col("url")))
-        )
-        .withColumn("rooms", F.col("raw_rooms").cast("int"))
-        .withColumn("offer_id", offer_id_expr(F.col("url"), F.col("source")))
-        # displayed-or-derived ppm2 travels as-is (see fill-in above)
-        .withColumn("price_per_m2", ppm2)
-        # validated-model breadth (validate.py:25-40): timestamps through
-        # the F11/F12 cascade, year_built, trimmed features array (F28)
-        .withColumn("posted_at", timestamp_cascade(F.col("raw_posted")))
-        .withColumn("updated_at", timestamp_cascade(F.col("raw_updated")))
-        .withColumn("year_built", F.col("raw_year").cast("int"))
-        .withColumn(
-            "features",
-            F.when(
-                F.col("raw_features").isNotNull(),
-                features_clean(F.col("raw_features")),
-            ),
-        )
-        .withColumn("range_ok", range_ok_expr())
-    )
-    required = [
-        "price_amount", "city", "area_m2", "rooms", "lat", "lon", "offer_id",
-    ]
-    complete = F.col("range_ok")
-    for c in required:
-        complete = complete & F.col(c).isNotNull()
-    complete = complete & (F.col("city") != "") & (F.col("offer_id") != "")
+    # city waterfall (L6-style coalesce cascade): page value first, URL
+    # slug token fallback second (F8)
+    city = F.coalesce(F.col("raw_city"), city_from_slug(F.col("url")))
+    rooms = F.col("raw_rooms").cast("int")
+    offer_id = offer_id_expr(F.col("url"), F.col("source"))
+    range_ok = range_ok_expr()
+    # completeness gate (P2) + reject reason, inlined over the SAME derived
+    # Column objects (a withColumns projection resolves everything against
+    # the input frame, so siblings can't reference each other by name)
+    complete = range_ok
+    for c in (price, city, area, rooms, lat, lon, offer_id):
+        complete = complete & c.isNotNull()
+    complete = complete & (city != "") & (offer_id != "")
     reason = (
         F.when(~F.col("parse_ok"), "parse_fail")
         # pydantic raises before the completeness gate runs (detail.py:92,94)
-        .when(~F.col("range_ok"), "range")
-        .when(F.col("price_amount").isNull(), "no_price")
-        .when(F.col("lat").isNull() | F.col("lon").isNull(), "no_geo")
-        .when(F.col("offer_id").isNull() | (F.col("offer_id") == ""), "no_offer_id")
+        .when(~range_ok, "range")
+        .when(price.isNull(), "no_price")
+        .when(lat.isNull() | lon.isNull(), "no_geo")
+        .when(offer_id.isNull() | (offer_id == ""), "no_offer_id")
         .otherwise("incomplete")
     )
-    return base.withColumn("is_valid", complete).withColumn(
-        "reject_reason", F.when(~complete, reason)
-    )
+    _REFINED_COLS = {
+        "lat": lat,
+        "lon": lon,
+        "area_m2": area,
+        "price_amount": price,
+        "price_currency": currency,
+        "city": city,
+        "rooms": rooms,
+        "offer_id": offer_id,
+        # displayed-or-derived ppm2 travels as-is (see fill-in above)
+        "price_per_m2": ppm2,
+        # validated-model breadth (validate.py:25-40): timestamps through
+        # the F11/F12 cascade, year_built, trimmed features array (F28)
+        "posted_at": timestamp_cascade(F.col("raw_posted")),
+        "updated_at": timestamp_cascade(F.col("raw_updated")),
+        "year_built": F.col("raw_year").cast("int"),
+        "features": F.when(
+            F.col("raw_features").isNotNull(),
+            features_clean(F.col("raw_features")),
+        ),
+        "range_ok": range_ok,
+        "is_valid": complete,
+        "reject_reason": F.when(~complete, reason),
+    }
+    return _REFINED_COLS
+
+
+def refined(parsed: DataFrame) -> DataFrame:
+    """parsed raw fields → canonical columns + is_valid + reject_reason.
+
+    Single expression pass (one ``withColumns`` over the memoized projection
+    map); callers project the offers / quarantine views from it (and the
+    engine stages exactly this frame once per round)."""
+    return parsed.withColumns(_refined_col_map())
 
 
 def refine_offers(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

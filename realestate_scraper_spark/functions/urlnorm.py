@@ -106,13 +106,25 @@ def domain_salt(url_canon: Column | str, n_salts: int = 8) -> Column:
     )
 
 
+_KEY_COLS: dict = {}
+
+
 def with_url_keys(df, url_col: str = "url", n_salts: int = 8):
-    """Attach url_canon / url_hash32 / url_hash64 / domain / domain_salt."""
-    canon = canonicalize_url(url_col)
-    return (
-        df.withColumn("url_canon", canon)
-        .withColumn("url_hash32", url_hash32(F.col("url_canon")))
-        .withColumn("url_hash64", url_hash64(F.col("url_canon")))
-        .withColumn("domain", url_domain(url_col))
-        .withColumn("domain_salt", domain_salt(F.col("url_canon"), n_salts))
-    )
+    """Attach url_canon / url_hash32 / url_hash64 / domain / domain_salt.
+
+    The two projection maps (canonical form, then the keys derived from it)
+    are memoized per ``(url_col, n_salts)``: Column objects are immutable
+    plan fragments, and rebuilding the canonicalization cascade per crawl
+    round is pure driver latency (see engine._phase timings)."""
+    memo = _KEY_COLS.get((url_col, n_salts))
+    if memo is None:
+        canon_map = {"url_canon": canonicalize_url(url_col)}
+        key_map = {
+            "url_hash32": url_hash32(F.col("url_canon")),
+            "url_hash64": url_hash64(F.col("url_canon")),
+            "domain": url_domain(url_col),
+            "domain_salt": domain_salt(F.col("url_canon"), n_salts),
+        }
+        memo = (canon_map, key_map)
+        _KEY_COLS[(url_col, n_salts)] = memo
+    return df.withColumns(memo[0]).withColumns(memo[1])
