@@ -84,7 +84,10 @@ def main() -> None:
     t0 = time.monotonic()
     # lookahead=4: the throughput configuration (rounds ≈ depth/4); strict
     # reference-equivalence runs keep lookahead=0 (see engine docstring)
-    eng = CrawlEngine(spark, run_dir, graph, n_salts=4, lookahead=4)
+    # n_salts=16 → 64 domain_salt keys into the 16-partition fetch exchange
+    # (salt-hash collisions idle partitions at 16 keys; salts scale with
+    # target parallelism, politeness budget per domain is unchanged)
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=16, lookahead=4)
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=30)
     crawl_sec = time.monotonic() - t0

@@ -450,7 +450,18 @@ class CrawlEngine:
         return n
 
     def _coalesced(self, df: DataFrame) -> DataFrame:
-        return df.coalesce(self.append_coalesce) if self.append_coalesce else df
+        """Bound the file count of small per-round appends WITHOUT collapsing
+        the compute stage above the write: ``coalesce`` propagates upstream
+        (the parse/refine mapInPandas would run at the coalesced width — the
+        same failure mode as r2's AQE exchange collapse, self-inflicted),
+        so this is a ``repartition`` exchange barrier. The shuffled rows are
+        post-parse (no html payload), so the exchange is metadata-cheap;
+        upstream keeps full parallelism, the write emits N files."""
+        return (
+            df.repartition(self.append_coalesce)
+            if self.append_coalesce
+            else df
+        )
 
     def _eligible_pending_total(self) -> int:
         return sum(

@@ -56,7 +56,12 @@ def main() -> None:
         spark,
         tempfile.mkdtemp(prefix=f"depth{args.cpus}_{args.cards}_"),
         graph,
-        n_salts=4,
+        # salts scale with the TARGET parallelism (same job at both levels):
+        # 4 domains × 16 salts = 64 domain_salt keys hashed into the pinned
+        # 16-partition fetch exchange — with only 16 keys, balls-into-bins
+        # collisions leave ~1/3 of partitions empty and the parse inherits
+        # the skewed cache layout (measured 1.6× on the staged path)
+        n_salts=16,
         lookahead=args.lookahead,
     )
     eng.seed(seed_urls())

@@ -63,7 +63,10 @@ def main() -> None:
     t0 = time.monotonic()
     eng = CrawlEngine(
         spark, tempfile.mkdtemp(prefix=f"scale{args.cpus}_"), graph,
-        n_salts=4, lookahead=4,
+        # 64 domain_salt keys (4×16) into the 16-partition fetch exchange:
+        # enough keys that salt-hash collisions don't idle partitions (the
+        # same salts-scale-with-executors knob the dataplane stage uses)
+        n_salts=16, lookahead=4,
     )
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=args.pages + 3)
