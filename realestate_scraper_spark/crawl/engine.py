@@ -1130,13 +1130,29 @@ class CrawlEngine:
     def finalize_curated(self) -> None:
         """Materialize the curated offers/photos/quarantine tables from the
         raw staged zone — one write each per run (the reference's batched
-        flush, O4, at run granularity)."""
-        for table, df in (
-            (self.t_offers, self.offers()),
-            (self.t_photos, self.photos()),
-            (self.t_quarantine, self.quarantine()),
-        ):
-            if df is not None:
-                table.overwrite(
-                    self._coalesced(df), round_idx=self.round_idx, stage="curated"
+        flush, O4, at run granularity). The three tables are independent
+        views over the same staged scan, so the writes run as concurrent
+        jobs (same overlap rationale as the in-round staging thread)."""
+        jobs = [
+            (table, df)
+            for table, df in (
+                (self.t_offers, self.offers()),
+                (self.t_photos, self.photos()),
+                (self.t_quarantine, self.quarantine()),
+            )
+            if df is not None
+        ]
+        if not jobs:
+            return
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = [
+                pool.submit(
+                    table.overwrite,
+                    self._coalesced(df),
+                    round_idx=self.round_idx,
+                    stage="curated",
                 )
+                for table, df in jobs
+            ]
+            for f in futs:
+                f.result()

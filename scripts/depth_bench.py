@@ -20,6 +20,7 @@ Appends a section to BENCH/BASELINE.md (replacing any previous one).
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -38,13 +39,20 @@ WEIGHT_KB = 48
 
 
 def run_cell(cpus: int, cards: int, depth: int) -> dict:
+    # Heap scales with cores (2 GiB/core): on a real cluster each executor
+    # brings its OWN heap, so per-core memory is constant as the cluster
+    # grows; local[`N`] packs all N cores into one JVM, and a fixed heap
+    # makes the 4N level GC-bound at the fattest cells (measured: the
+    # 2048-card cell at local[16] went 92 s → 59 s from 8 g → 32 g while
+    # local[4] was unaffected) — a sandbox artifact, not an engine property.
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{2 * cpus}g")
     out = subprocess.run(
         [
             sys.executable, str(WORKER), "--cpus", str(cpus),
             "--cards", str(cards), "--pages", str(depth),
             "--lookahead", str(LOOKAHEAD), "--weight-kb", str(WEIGHT_KB),
         ],
-        capture_output=True, text=True, check=True, cwd=REPO,
+        capture_output=True, text=True, check=True, cwd=REPO, env=env,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -88,7 +96,10 @@ def main() -> None:
         "~64× while the round count stays small. As rounds fatten, the "
         "fixed per-round driver latency amortizes and the LOOP's efficiency "
         "climbs toward the data plane's (the table above) — measured, not "
-        "argued (`scripts/depth_bench.py`, fresh JVM per cell):",
+        "argued (`scripts/depth_bench.py`, fresh JVM per cell, heap = "
+        "2 GiB/core per level — the per-executor-heap-constant shape of a "
+        "real cluster; a fixed heap makes the 4N level GC-bound at the "
+        "fattest cells, a single-JVM sandbox artifact):",
         "",
         "| cards/listing | depth | pages crawled | rounds | pages/round | "
         f"local[{N_LO}] pages/s | local[{N_HI}] pages/s | loop efficiency |",
