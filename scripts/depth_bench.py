@@ -94,9 +94,11 @@ def main() -> None:
         f"(rounds ≈ depth/lookahead + ramp, measured below), ~{WEIGHT_KB} KB "
         "pages, sweeping cards per listing page so pages per round grow "
         "~64× while the round count stays small. As rounds fatten, the "
-        "fixed per-round driver latency amortizes and the LOOP's efficiency "
-        "climbs toward the data plane's (the table above) — measured, not "
-        "argued (`scripts/depth_bench.py`, fresh JVM per cell, heap = "
+        "fixed per-round driver latency amortizes out of the wall "
+        "(throughput grows ~20× across the sweep at both levels) and the "
+        "loop's scaling converges to its in-loop data-plane limit, fitted "
+        "below — measured, not argued "
+        "(`scripts/depth_bench.py`, fresh JVM per cell, heap = "
         "2 GiB/core per level — the per-executor-heap-constant shape of a "
         "real cluster; a fixed heap makes the 4N level GC-bound at the "
         "fattest cells, a single-JVM sandbox artifact):",
@@ -124,10 +126,18 @@ def main() -> None:
         "a round carries cluster-scale load;",
         f"- in-loop data-plane throughput: T ≈ {t_lo:,.0f} pages/s at "
         f"local[{N_LO}] vs {t_hi:,.0f} at local[{N_HI}] → asymptotic loop "
-        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**, consistent "
-        "with the standalone data-plane row above. At 10^6-page rounds "
-        f"(the 100 TB shape) the a·rounds term is <{100 * a_hi / (a_hi + 1e6 / t_hi):.0f}% "
-        "of wall.",
+        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**. This sits "
+        "BELOW the standalone data-plane row above because the loop does "
+        "per-page work the standalone composition doesn't: materializing "
+        "the fetched-html cache (written+read back each round), the "
+        "frontier insert path (link explosion → canonicalize → window "
+        "dedup → Bloom/seen maintenance), and delta/bucketed writes whose "
+        "fan-in (4 append partitions, 8 seen buckets) is a fixed job/table "
+        "property at both levels — on a real cluster those widths scale "
+        "with the table (bucket count, target file size), on this box they "
+        "cap the write stages identically at N and 4N. At 10^6-page "
+        f"rounds (the 100 TB shape) the a·rounds term is "
+        f"<{100 * a_hi / (a_hi + 1e6 / t_hi):.0f}% of wall.",
         "",
         "```json",
         *[json.dumps({"cards": c, "lo": lo, "hi": hi,
