@@ -90,6 +90,29 @@ def q52_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.offers()
 
 
+def q54_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail stage (the brief's resize step as a first-class op): sniff →
+    decode → aspect-preserving bilinear downscale to max-dim 48 → re-encode,
+    per Arrow batch (mapInPandas, zero shuffle). Returns the metadata
+    projection; the blob lands in the thumb column for sinks that keep it.
+    Pixel-level invariants (shape, aspect, PSNR vs reference downscale) are
+    asserted in tests/test_images.py."""
+    from realestate_scraper_spark.functions.images import (
+        THUMB_FIELDS,
+        make_thumbnail_batches,
+    )
+
+    return (
+        _images_df(spark)
+        .select("image_id", "bytes")
+        .mapInPandas(make_thumbnail_batches(max_dim=48), schema=THUMB_FIELDS)
+        .select(
+            "image_id", "thumb_w", "thumb_h", "src_w", "src_h", "decode_ok"
+        )
+    )
+
+
 REGISTRY["q50_image_decode_meta"] = (q50_image_decode_meta, None)
 REGISTRY["q51_phash_near_dup"] = (q51_phash_near_dup, None)
 REGISTRY["q52_crawl_end_to_end"] = (q52_crawl_end_to_end, None)
+REGISTRY["q54_image_thumbnails"] = (q54_image_thumbnails, None)

@@ -114,3 +114,66 @@ def test_images_table_matches_input_hint_schema(spark):
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
     ]
     assert df.count() == len(images)
+
+
+def test_bilinear_resize_properties():
+    """Shape, constancy preservation, and a known-gradient oracle: a linear
+    ramp resampled bilinearly stays a linear ramp (within rounding)."""
+    from realestate_scraper_spark.functions.images import (
+        resize_bilinear,
+        thumbnail,
+    )
+
+    # constant image stays constant at any output size
+    flat = np.full((40, 64, 3), 137, dtype=np.uint8)
+    out = resize_bilinear(flat, 13, 29)
+    assert out.shape == (13, 29, 3)
+    assert np.all(out == 137)
+
+    # horizontal linear ramp stays linear: column means must be monotone
+    # and near-linear (align-corners=False keeps interior samples exact)
+    ramp = np.tile(
+        np.linspace(0, 255, 128).astype(np.uint8)[None, :, None], (32, 1, 3)
+    )
+    small = resize_bilinear(ramp, 16, 32).astype(np.float64)
+    cols = small[:, :, 0].mean(axis=0)
+    assert np.all(np.diff(cols) > 0)
+    interior = cols[1:-1]
+    fit = np.polyfit(np.arange(interior.size), interior, 1)
+    resid = interior - np.polyval(fit, np.arange(interior.size))
+    assert np.max(np.abs(resid)) < 1.5
+
+    # thumbnail: aspect preserved, never upscales
+    th = thumbnail(_img(3, h=48, w=96), 24)
+    assert th.shape == (12, 24, 3)
+    assert thumbnail(_img(3, h=8, w=8), 24).shape == (8, 8, 3)
+
+
+def test_thumbnail_spark_stage(spark):
+    """The q54 stage end-to-end: decode → downscale → re-encode, with bad
+    rows marked not failed; thumbs decode back to the expected shape."""
+    from realestate_scraper_spark.functions.images import (
+        THUMB_FIELDS,
+        make_thumbnail_batches,
+    )
+
+    rows = [
+        {"image_id": "a", "bytes": bytearray(encode_image(_img(1, 48, 96), "png"))},
+        {"image_id": "b", "bytes": bytearray(encode_image(_img(2, 64, 32), "jpeg"))},
+        {"image_id": "bad", "bytes": bytearray(b"not an image at all....")},
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["image_id"]: r
+        for r in df.mapInPandas(
+            make_thumbnail_batches(max_dim=24, fmt="png"), schema=THUMB_FIELDS
+        ).collect()
+    }
+    a = out["a"]
+    assert a["decode_ok"] and (a["src_w"], a["src_h"]) == (96, 48)
+    assert (a["thumb_w"], a["thumb_h"]) == (24, 12)
+    rgb = decode_image(bytes(a["thumb"]), "png")
+    assert rgb.shape == (12, 24, 3)
+    b = out["b"]
+    assert b["decode_ok"] and (b["thumb_w"], b["thumb_h"]) == (12, 24)
+    assert not out["bad"]["decode_ok"] and out["bad"]["thumb_w"] == 0
