@@ -34,11 +34,18 @@ def test_oracle_keys_subset_of_queries():
         "q50_image_decode_meta",
         "q51_phash_near_dup",
         "q52_crawl_end_to_end",
+        "q54_image_thumbnails",
     }
 
 
 @pytest.mark.parametrize(
-    "name", ["q50_image_decode_meta", "q51_phash_near_dup", "q52_crawl_end_to_end"]
+    "name",
+    [
+        "q50_image_decode_meta",
+        "q51_phash_near_dup",
+        "q52_crawl_end_to_end",
+        "q54_image_thumbnails",
+    ],
 )
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
