@@ -388,27 +388,64 @@ def q34_simhash(spark, sf_dir):
 _STOPWORDS_EN = r"\b(the|a|of|to|in|and|is|on|for|with)\b"
 
 
-@_reg(
-    "q35_langid",
-    f"""
+def _q35_sql() -> str:
+    # built lazily: _NGRAM_SETS is defined further down the module
+    en, de, fr = (
+        _ngram_hits_sql("en"), _ngram_hits_sql("de"), _ngram_hits_sql("fr")
+    )
+    return f"""
     SELECT doc_id,
            CASE WHEN len(regexp_extract_all(lower(text), '{_STOPWORDS_EN}')) * 1.0 /
                      len(regexp_split_to_array(trim(text), '\\s+')) > 0.02
-                THEN 'en' ELSE 'unk' END AS lang_pred,
-           len(regexp_extract_all(lower(text), '{_STOPWORDS_EN}')) AS stopword_hits
+                THEN 'en' ELSE 'unk' END AS lang_pred_stopword,
+           len(regexp_extract_all(lower(text), '{_STOPWORDS_EN}')) AS stopword_hits,
+           {en} AS en_hits,
+           {de} AS de_hits,
+           {fr} AS fr_hits,
+           CASE
+             WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
+             WHEN {de} >= {fr} THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred_ngram
     FROM documents
-    """,
-)
+    """
+
+
 def q35_langid(spark, sf_dir):
-    """Language-ID heuristic: stopword-hit ratio (n-gram-free variant; the
+    """Language-ID heuristics, both variants in one row (merged from the
+    former q43_langid_ngram so the registry fits the driver's 50-row
+    correctness board — r3 cut the tail).
+
+    Stopword variant (``lang_pred_stopword``): stopword-hit ratio. N-gram
+    variant (``lang_pred_ngram``): character-bigram profile hit counts per
+    language with deterministic argmax tie-breaking (en > de > fr). The
     oracle checks the computation — the synthetic corpus shares one
-    vocabulary so label recovery is not the point)."""
-    hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOPWORDS_EN), 0))
+    vocabulary so label recovery is not the point."""
+    sw_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOPWORDS_EN), 0)
+    )
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    hits = {}
+    for lang, grams in _NGRAM_SETS.items():
+        pat = "(" + "|".join(grams) + ")"
+        hits[lang] = F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)
+        )
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
     return t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(hits * 1.0 / n_tok > 0.02, "en").otherwise("unk").alias("lang_pred"),
-        hits.alias("stopword_hits"),
+        F.when(sw_hits * 1.0 / n_tok > 0.02, "en")
+        .otherwise("unk")
+        .alias("lang_pred_stopword"),
+        sw_hits.alias("stopword_hits"),
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        pred.alias("lang_pred_ngram"),
     )
 
 
@@ -682,44 +719,9 @@ def _ngram_hits_sql(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '({pat})'))"
 
 
-@_reg(
-    "q43_langid_ngram",
-    f"""
-    SELECT doc_id,
-           {_ngram_hits_sql("en")} AS en_hits,
-           {_ngram_hits_sql("de")} AS de_hits,
-           {_ngram_hits_sql("fr")} AS fr_hits,
-           CASE
-             WHEN {_ngram_hits_sql("en")} >= {_ngram_hits_sql("de")}
-              AND {_ngram_hits_sql("en")} >= {_ngram_hits_sql("fr")} THEN 'en'
-             WHEN {_ngram_hits_sql("de")} >= {_ngram_hits_sql("fr")} THEN 'de'
-             ELSE 'fr'
-           END AS lang_pred
-    FROM documents
-    """,
-)
-def q43_langid_ngram(spark, sf_dir):
-    """Language-ID, n-gram variant: character-bigram profile hit counts per
-    language with deterministic argmax tie-breaking (en > de > fr)."""
-    d = t(spark, sf_dir, "documents")
-    hits = {}
-    for lang, grams in _NGRAM_SETS.items():
-        pat = "(" + "|".join(grams) + ")"
-        hits[lang] = F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)
-        )
-    pred = (
-        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
-        .when(hits["de"] >= hits["fr"], "de")
-        .otherwise("fr")
-    )
-    return d.select(
-        "doc_id",
-        hits["en"].alias("en_hits"),
-        hits["de"].alias("de_hits"),
-        hits["fr"].alias("fr_hits"),
-        pred.alias("lang_pred"),
-    )
+# q35_langid registered here — _ngram_hits_sql/_NGRAM_SETS (used by its
+# oracle SQL and plan) are only defined above this point.
+REGISTRY["q35_langid"] = (q35_langid, _q35_sql())
 
 
 # --------------------------------------------------------------------- q44
