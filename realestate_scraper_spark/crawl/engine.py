@@ -97,37 +97,56 @@ class CrawlEngine:
         run_dir: str,
         graph_rows: list[dict],
         *,
-        n_salts: int = 4,
+        n_salts: int | None = None,
         max_pages: int | None = None,
         offer_limit: int | None = None,
         photo_limit: int | None = None,
         no_new_stop: int = 2,
         real_sleep: bool = False,
         bloom_fpp: float = 0.01,
-        append_coalesce: int | None = 4,
+        append_coalesce: int | str | None = "auto",
         robots_rules: dict | None = None,
         max_transient_attempts: int = 3,
         lookahead: int = 0,
-        seen_buckets: int = 8,
+        seen_buckets: int | None = None,
         seen_compact_every: int = 8,
+        geocode_dim: "DataFrame | None" = None,
     ):
         self.spark = spark
         self.run_dir = run_dir
-        self.n_salts = n_salts
+        # Widths scale with the session's parallelism by default (the r3
+        # scale finding: fixed constants capped the in-loop data plane at
+        # 4-8 tasks regardless of core count). Callers pin explicit values
+        # for toy-scale runs / reference-equivalence tests.
+        dp = spark.sparkContext.defaultParallelism
+        # salt KEYS ≈ 4× partitions: balls-into-bins at keys == partitions
+        # leaves ~1/3 of partitions empty; politeness divides each domain's
+        # budget by the salt count, so the aggregate per-domain rate is
+        # invariant in n_salts and the knob is free to scale.
+        self.n_salts = n_salts if n_salts is not None else max(4, 4 * dp)
         self.max_pages = max_pages
         self.offer_limit = offer_limit
         self.photo_limit = photo_limit
         self.no_new_stop = no_new_stop
         self.real_sleep = real_sleep
         self.bloom_fpp = bloom_fpp
-        # small per-round appends get coalesced at toy scale; None = leave
-        # the write parallelism alone (the 100 TB setting).
-        self.append_coalesce = append_coalesce
+        # per-round append width: "auto" follows the executor pool so the
+        # staged/insert/update write stages scale with the cluster (file
+        # count stays bounded by run-end compaction); None = leave the
+        # write parallelism to the upstream plan.
+        self.append_coalesce = (
+            max(4, dp) if append_coalesce == "auto" else append_coalesce
+        )
         # domain → RobotsRules; when set, robots gating runs as a pure
         # expression BEFORE any politeness budget is spent (crawl/politeness)
         self.robots_rules = robots_rules
         # ST8: Retry-After rows re-enter until this many attempts burn out
         self.max_transient_attempts = max_transient_attempts
+        # J8 OSM streetwise memo (city, street, dim_lat, dim_lon): when set,
+        # the refine stage applies the _snap_geo_if_far override
+        # (morizon.py:472-487) via a broadcast join before the completeness
+        # gate; None = page geo stands (use_osm_geocode=False).
+        self.geocode_dim = geocode_dim
         # Pagination lookahead (opt-in): each fetched listing page N also
         # enqueues speculative pages N+1..N+lookahead by bumping the page
         # param — rounds ≈ depth/lookahead instead of ≈ depth. Beyond-end
@@ -153,9 +172,15 @@ class CrawlEngine:
         self.t_metrics = ParquetTable(run_dir, "metrics")
         self.bloom_path = os.path.join(run_dir, "bloom.npz")
         # Bucketed URL-seen store: no seen-side exchange in the per-round
-        # anti-join; file count bounded by periodic compaction. Toy defaults
-        # (8 buckets, compact every 8 appends); production: buckets sized to
-        # frontier/target-file-size (e.g. 4096 at 10^10 URLs).
+        # anti-join; file count bounded by periodic compaction. The bucket
+        # count is a one-time table choice — default it to ≥2× the session
+        # parallelism (rounded to a power of two) so the seen-side scan and
+        # compaction stay task-parallel at this cluster size; production:
+        # buckets sized to frontier/target-file-size (e.g. 4096 at 10^10
+        # URLs). A store that already exists on disk keeps its persisted
+        # bucket count (seenstore meta) regardless of this default.
+        if seen_buckets is None:
+            seen_buckets = 1 << max(3, (2 * dp - 1).bit_length())
         self.seen_store = BucketedSeenStore(
             spark,
             run_dir,
@@ -512,12 +537,23 @@ class CrawlEngine:
 
         # ---- ACTION 1: fetch summary (batch size, lineage counters, status
         #      mix, per-page yield accounting, politeness high-water marks)
-        #      in one aggregation.
+        #      in one aggregation. Cardinality is structurally bounded:
+        #      ``attempts`` is collapsed into the boolean ST8 ``requeue``
+        #      verdict and ``page_idx`` is kept ONLY for listing rows (the
+        #      same pagination-depth-bounded metadata the driver already
+        #      tracks), so the collect is O(salts × statuses) for the offer
+        #      bulk + O(pagination depth) for listings — never
+        #      O(depth × salts × attempts) at 10^10-frontier scale.
         with self._phase("fetch_summary"):
+            requeue_expr = (
+                F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
+            ) & (F.col("attempts") + 1 < self.max_transient_attempts)
+            page_key = F.when(F.col("kind") == "listing", F.col("page_idx"))
             summary = (
                 fetched.groupBy(
                     "source", "domain_salt", "kind", "fetch_status",
-                    "page_idx", "attempts",
+                    requeue_expr.alias("requeue"),
+                    page_key.alias("page_key"),
                 )
                 .agg(
                     F.count("*").alias("n"),
@@ -551,7 +587,7 @@ class CrawlEngine:
                 # A5 no-new streak nor counts as a content page
                 and r["fetch_status"] != fetch_mod.FETCH_MISSING
             ):
-                listing_pages_fetched[r["source"]].add(r["page_idx"])
+                listing_pages_fetched[r["source"]].add(r["page_key"])
 
         # ---- offers → parse → refine → ONE staged append (raw zone);
         #      curated tables are views finalized once per run. Submitted to
@@ -744,8 +780,23 @@ class CrawlEngine:
             ).mapInPandas(
                 parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS
             )
-            staged = refine_mod.refined(parsed).withColumn(
-                "round", F.lit(self.round_idx)
+            if self.geocode_dim is not None:
+                # broadcast streetwise memo join keyed on the PAGE's own
+                # address fields — the same (street, city) query string the
+                # reference sends to Nominatim (morizon.py:430-436)
+                dim = self.geocode_dim.select(
+                    F.col("city").alias("raw_city"),
+                    F.col("street").alias("raw_street"),
+                    "dim_lat",
+                    "dim_lon",
+                )
+                parsed = parsed.join(
+                    F.broadcast(dim), ["raw_city", "raw_street"], "left"
+                )
+            staged = (
+                refine_mod.refined(parsed)
+                .drop("dim_lat", "dim_lon")
+                .withColumn("round", F.lit(self.round_idx))
             )
         with self._phase("staged_append"):
             self.t_staged.append(
@@ -790,11 +841,10 @@ class CrawlEngine:
         return self.spark.read.parquet(*paths).select("url_canon")
 
     def _is_requeue(self, r) -> bool:
-        """Does this summary row re-enter PENDING under ST8?"""
-        return (
-            r["fetch_status"] == fetch_mod.FETCH_TRANSIENT
-            and r["attempts"] + 1 < self.max_transient_attempts
-        )
+        """Does this summary row re-enter PENDING under ST8? (The verdict is
+        computed IN the summary aggregation — the collect never carries the
+        raw attempts dimension.)"""
+        return bool(r["requeue"])
 
     def _status_updates(self, fetched: DataFrame) -> DataFrame:
         """Fetched rows → full-schema frontier rows with their new status.
@@ -880,10 +930,10 @@ class CrawlEngine:
             if self._is_requeue(r):
                 continue  # stays pending under a Retry-After hold (ST8)
             if r["kind"] == "listing":
-                self._pending_listing_pages.get(src, set()).discard(r["page_idx"])
+                self._pending_listing_pages.get(src, set()).discard(r["page_key"])
                 if r["fetch_status"] == fetch_mod.FETCH_OK:
                     self._last_page_done[src] = max(
-                        self._last_page_done.get(src, 0), r["page_idx"]
+                        self._last_page_done.get(src, 0), r["page_key"]
                     )
                 elif r["fetch_status"] not in (
                     fetch_mod.FETCH_ROBOTS,
@@ -962,12 +1012,21 @@ class CrawlEngine:
         return self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
 
     # ------------------------------------------------------- image pipeline
-    def process_images(self, images_input: DataFrame) -> DataFrame:
+    def process_images(
+        self, images_input: DataFrame, thumbnails: int | None = None
+    ) -> DataFrame:
         """The input_hint image stage: photos discovered by the crawl are
         joined to their binary payloads, decoded + verified in Arrow batches
         (sniff, w/h, sha256, pHash — functions/images.py), captioned from the
         owning offer, and written to the partitioned ``images`` table in the
         EXACT input_hint shape (image_id, bytes, w, h, fmt, caption, phash).
+
+        ``thumbnails`` (max dimension, px): when set, the bilinear
+        aspect-preserving downscale stage (functions/images.py
+        make_thumbnail_batches) runs over the same decoded-ok rows and the
+        curated table additionally carries (thumb, thumb_w, thumb_h) — the
+        brief's multimodal resize step wired end-to-end into the engine
+        sink, still zero-shuffle per Arrow batch.
 
         ``images_input`` carries (image_id, bytes) at minimum — the stand-in
         for the image-fetch stage (scrapper/core/images.py:48-91); rows whose
@@ -1023,6 +1082,22 @@ class CrawlEngine:
             .join(caption_src, "image_id", "left")
             .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
         )
+        if thumbnails is not None:
+            from realestate_scraper_spark.functions.images import (
+                THUMB_FIELDS,
+                make_thumbnail_batches,
+            )
+
+            thumbs = (
+                linked.select("image_id", "bytes")
+                .mapInPandas(
+                    make_thumbnail_batches(max_dim=thumbnails),
+                    schema=THUMB_FIELDS,
+                )
+                .filter(F.col("decode_ok"))
+                .select("image_id", "thumb", "thumb_w", "thumb_h")
+            )
+            out = out.join(thumbs, "image_id", "left")
         self.t_images = ParquetTable(self.run_dir, "images")
         self.t_images.overwrite(
             self._coalesced(out), round_idx=self.round_idx, stage="images"

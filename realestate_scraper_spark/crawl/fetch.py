@@ -28,6 +28,7 @@ Retry-After honoring on 429/503) with a partition-parallel batch stage:
 
 from __future__ import annotations
 
+import re
 import time
 from collections.abc import Iterator
 import pandas as pd
@@ -41,6 +42,20 @@ FETCH_RESULT_FIELDS = (
     "sub_slot int, attempts int, html string, fetch_status string, "
     "fetched_at_ms double"
 )
+
+# O9 alternate listing-URL spelling (morizon.py:631-635): the portal's
+# primary template `morizon.pl/{category}/…` sometimes serves an empty shell;
+# the reference then retries `morizon.pl/nieruchomosci/{category}/…`
+# (morizon.py:672-679) before declaring no_links.
+_ALT_LISTING_RE = re.compile(
+    r"^(https?://www\.morizon\.pl)/(?!nieruchomosci(?:/|$))(.+)$"
+)
+
+
+def alt_listing_spelling(url: str) -> str | None:
+    m = _ALT_LISTING_RE.match(url)
+    return f"{m.group(1)}/nieruchomosci/{m.group(2)}" if m else None
+
 
 FETCH_OK = "OK"
 FETCH_ROBOTS = "ROBOTS"
@@ -108,6 +123,10 @@ def make_fetch_stage(
     so real_sleep targets are run-global, not round-local."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from realestate_scraper_spark.functions.urlnorm import (
+            canonicalize_url_py,
+        )
+
         store = page_store_bc.value
         rules = robots_rules_bc.value if robots_rules_bc is not None else None
         # representative page weight (synth.make_site_graph page_weight_kb):
@@ -157,9 +176,9 @@ def make_fetch_stage(
                 if "robots_allowed" in pdf.columns
                 else [True] * len(pdf)
             )
-            for url_canon, domain, salt, attempts, allowed_by_rules in zip(
+            for url_canon, domain, salt, kind, attempts, allowed_by_rules in zip(
                 pdf["url_canon"], pdf["domain"], pdf["domain_salt"],
-                pdf["attempts"], gate
+                pdf["kind"], pdf["attempts"], gate
             ):
                 if not allowed_by_rules:
                     out_html.append(None)
@@ -211,6 +230,22 @@ def make_fetch_stage(
                     continue
                 # shard's share of the budget: delay × n_salts per shard
                 at = _grant(salt, delay_ms * n_salts)
+                # O9 (morizon.py:672-679): a listing page that fetched OK
+                # but carries no links gets ONE retry under the alternate
+                # URL spelling — a second real request, so a second
+                # politeness grant — before the row goes back as a
+                # zero-yield page feeding the no_links/no_new stop rules.
+                # The frontier row keeps the PRIMARY url; only the content
+                # is served from the alternate (hrefs in listing cards are
+                # path-absolute, so absolutization is base-independent).
+                if kind == "listing" and "<a href" not in html:
+                    alt = alt_listing_spelling(url_canon)
+                    alt_rec = (
+                        store.get(canonicalize_url_py(alt)) if alt else None
+                    )
+                    if alt_rec is not None and alt_rec[1]:
+                        html, _, _, _, _, weight_kb = alt_rec
+                        at = _grant(salt, delay_ms * n_salts)
                 out_html.append(_pad(html, weight_kb))
                 out_status.append(FETCH_OK)
                 out_at.append(at)

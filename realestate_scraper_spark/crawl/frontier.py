@@ -66,10 +66,16 @@ def absolutize_href_expr(href, parent_url):
     origin = F.regexp_extract(parent_url, r"^(https?://[^/?#]+)", 1)
     # greedy up-to-last-slash of the parent PATH (query/fragment excluded)
     parent_dir = F.regexp_extract(parent_url, r"^([^?#]*/)", 1)
+    # a path-less parent ("https://host" or "https://host?page=2") has no
+    # slash after the origin, so parent_dir degenerates to "scheme://" —
+    # urljoin resolves a bare-relative href against the root there
+    # (ADVICE r3): fall back to origin + "/" + href.
+    rootless = parent_dir == F.concat(scheme, F.lit("//"))
     return (
         F.when(href.rlike(r"^https?://"), href)
         .when(href.startswith("//"), F.concat(scheme, href))
         .when(href.startswith("/"), F.concat(origin, href))
+        .when(rootless, F.concat(origin, F.lit("/"), href))
         .otherwise(F.concat(parent_dir, href))
     )
 

@@ -29,6 +29,9 @@ from realestate_scraper_spark.schemas import OFFER_COLUMNS
 # gratka variant 48.5..55.5 is strictly looser, so this is the tight gate).
 PL_BBOX = {"lat_min": 49.0, "lat_max": 54.9, "lon_min": 14.0, "lon_max": 24.5}
 
+# J8 snap threshold (morizon.py:472 `max_dist_m: float = 800.0`)
+GEO_SNAP_MAX_DIST_M = 800.0
+
 OFFER_ID_PATTERNS = [
     ("otodom", r"-ID(\w{4,})"),
     ("morizon", r"(mzn\d{6,})"),
@@ -126,10 +129,26 @@ def _refined_col_map() -> dict[str, Column]:
     global _REFINED_COLS
     if _REFINED_COLS is not None:
         return _REFINED_COLS
+    from realestate_scraper_spark.operators.spatial import haversine_m
+
     lat0, lon0 = F.col("raw_lat"), F.col("raw_lon")
     geo_ok = in_pl_bbox(lat0, lon0)
-    lat = F.when(geo_ok, lat0)
-    lon = F.when(geo_ok, lon0)
+    page_lat = F.when(geo_ok, lat0)
+    page_lon = F.when(geo_ok, lon0)
+    # J8 snap override (_snap_geo_if_far, morizon.py:472-487): when the
+    # streetwise OSM memo resolved a plausible point (dim_lat/dim_lon joined
+    # upstream on (city, street) — null columns when no dim is configured),
+    # REPLACE the page geo if it is implausible or >800 m away. Runs BEFORE
+    # the completeness gate, exactly like the reference snaps at parse time
+    # before pydantic validation (detail.py:92).
+    dim_lat, dim_lon = F.col("dim_lat"), F.col("dim_lon")
+    dim_ok = dim_lat.isNotNull() & in_pl_bbox(dim_lat, dim_lon)
+    snap_dist = haversine_m(page_lat, page_lon, dim_lat, dim_lon)
+    snap = dim_ok & (
+        page_lat.isNull() | (snap_dist > F.lit(GEO_SNAP_MAX_DIST_M))
+    )
+    lat = F.when(snap, dim_lat).otherwise(page_lat)
+    lon = F.when(snap, dim_lon).otherwise(page_lon)
 
     raw_area = F.col("raw_area")
     # F19 first (otodom.py:158-165): when the page shows ppm2 + area but NO
@@ -145,8 +164,12 @@ def _refined_col_map() -> dict[str, Column]:
         F.expr("rint(raw_ppm2 * raw_area)"),
     )
     price = F.coalesce(F.col("raw_price"), derived_price)
+    # currency default: whenever a price landed (page-sourced OR derived)
+    # and the page yielded no parsable currency, the reference normalizes to
+    # PLN — otodom.py:656-657 and morizon.py:533-534 both apply the rule at
+    # the end of their cascade, not only on the derived-price branch.
     currency = F.coalesce(
-        F.col("raw_currency"), F.when(derived_price.isNotNull(), F.lit("PLN"))
+        F.col("raw_currency"), F.when(price.isNotNull(), F.lit("PLN"))
     )
     # F17 fill-in first (morizon.py:572-578, gratka.py:916-923): when the
     # page shows no ppm2, derive it from price / RAW area; a displayed ppm2
@@ -227,7 +250,12 @@ def refined(parsed: DataFrame) -> DataFrame:
 
     Single expression pass (one ``withColumns`` over the memoized projection
     map); callers project the offers / quarantine views from it (and the
-    engine stages exactly this frame once per round)."""
+    engine stages exactly this frame once per round). Callers that ran the
+    OSM memo join supply ``dim_lat``/``dim_lon``; otherwise the snap
+    columns are nulled here so the memoized map applies unchanged."""
+    for c in ("dim_lat", "dim_lon"):
+        if c not in parsed.columns:
+            parsed = parsed.withColumn(c, F.lit(None).cast("double"))
     return parsed.withColumns(_refined_col_map())
 
 

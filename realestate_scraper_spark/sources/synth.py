@@ -125,22 +125,44 @@ class SynthOffer:
     # price — the engine must derive price = round(ppm2 × area), not
     # quarantine as no_price.
     price_missing: bool = False
+    # J8 snap adversary (morizon.py:472-487 _snap_geo_if_far): the page
+    # renders WRONG-but-in-bbox geo (~2.5 km off); the OSM streetwise memo
+    # (geocode_dim_rows) carries the true point, so an engine given the dim
+    # must OVERRIDE the page geo (>800 m rule); without the dim the page
+    # value stands (the reference with use_osm_geocode=False).
+    geo_snap_wrong: bool = False
     photo_image_ids: list[str] = field(default_factory=list)
     photo_urls: list[str] = field(default_factory=list)
     investment_lead: int | None = None  # lead ordinal of the investment group
 
+    def rendered_geo(self) -> tuple[float | None, float | None]:
+        """The (lat, lon) the PAGE shows — the snap adversary renders a
+        wrong-but-in-bbox point while keeping ``self.lat/lon`` as the truth
+        the OSM dim would return."""
+        if self.missing_geo:
+            return None, None
+        if self.geo_snap_wrong:
+            return round(self.lat + 0.02, 6), round(self.lon - 0.015, 6)
+        return self.lat, self.lon
+
     # -- expected engine output (golden), applying reference reconciliation --
-    def golden_row(self) -> dict | None:
+    def golden_row(self, osm_snap: bool = False) -> dict | None:
         """Expected offers-table row, or None if the completeness gate (P2)
         must reject this offer (missing/out-of-bbox geo or null price).
+
+        ``osm_snap=True`` models an engine run WITH the OSM streetwise dim:
+        snap-adversary rows come back with the dim's true point instead of
+        the page's wrong one (morizon.py:472-487).
 
         Mirrors the reference's reconciliation ORDER (morizon.py:572-593,
         gratka.py:916-933): (1) fill ppm2 from price/RAW area only when the
         page showed none; (2) back-solve area when missing OR >8% off; the
         displayed ppm2 is kept, never recomputed from the corrected area."""
-        lat, lon = self.lat, self.lon
+        lat, lon = self.rendered_geo()
         if self.missing_geo or self.out_of_bbox:
             lat = lon = None
+        if osm_snap and self.geo_snap_wrong:
+            lat, lon = self.lat, self.lon
         price = (
             None
             if (self.inquiry_price or self.price_missing)
@@ -227,6 +249,11 @@ class SynthOffer:
         return f"Dzielnica{self.ordinal % 7}"
 
     def street(self) -> str:
+        # snap adversaries get a street UNIQUE per ordinal so the OSM memo
+        # keyed (city, street) never collides with an honest offer's key
+        # (a collision would snap the honest offer to a foreign point)
+        if self.geo_snap_wrong:
+            return f"ul. Osobliwa {self.ordinal}"
         return f"ul. Testowa {self.ordinal % 50}"
 
     def floor(self) -> int:
@@ -341,6 +368,18 @@ def make_offers(
                         ppm2_disagrees=disagrees,
                         missing_area=ordinal % 29 == 19,
                         price_missing=ordinal % 41 == 12,
+                        # morizon-only, like the reference's snap; keep it
+                        # off the missing/out-of-bbox/no-address rows so
+                        # each adversary isolates one semantic (%31==17 css
+                        # pages omit the address block — no city+street, so
+                        # the reference would never geocode them)
+                        geo_snap_wrong=(
+                            source == "morizon"
+                            and ordinal % 23 == 16
+                            and ordinal % 13 != 5
+                            and ordinal % 19 != 11
+                            and ordinal % 31 != 17
+                        ),
                         investment_lead=lead_ordinal if is_investment else None,
                     )
                     n_photos = ordinal % 5
@@ -412,8 +451,7 @@ def _fmt_pl_dt(iso: str, seconds: bool = False) -> str:
 
 
 def render_offer_html(o: SynthOffer) -> str:
-    lat = None if o.missing_geo else o.lat
-    lon = None if o.missing_geo else o.lon
+    lat, lon = o.rendered_geo()
     # price_missing pages show NO price element at all but keep the displayed
     # ppm2 + area (F19 adversary); inquiry pages show the inquiry text and
     # hide ppm2 too (morizon.py:537-541)
@@ -600,12 +638,21 @@ def render_listing_html(source: str, page: int, card_urls: list[str]) -> str:
 
 
 # -------------------------------------------------------------- site graph
+def alt_listing_url(url: str) -> str:
+    """Morizon's alternate listing spelling (morizon.py:631-635): the
+    ``/nieruchomosci/``-prefixed path serving the same results."""
+    return url.replace(
+        "https://www.morizon.pl/", "https://www.morizon.pl/nieruchomosci/", 1
+    )
+
+
 def make_site_graph(
     offers: list[SynthOffer],
     n_pages: int,
     flaky_mod: int | None = None,
     retry_after_mod: int | None = None,
     page_weight_kb: int = 0,
+    alt_listing_mod: int | None = None,
 ) -> list[dict]:
     """Listing + offer pages; child_urls in DOM order = reference crawl order.
     Each domain also serves /robots.txt (engine bootstraps its rules table
@@ -664,18 +711,43 @@ def make_site_graph(
                 )
             if page < n_pages:
                 child.append(listing_url(source, page + 1))
+            # O9 variant (morizon.py:672-679): every alt_listing_mod-th
+            # morizon page serves an EMPTY shell under the primary template
+            # — the real cards exist only under the /nieruchomosci/ alt
+            # spelling, so a crawler without the fallback stops with
+            # no_new/no_links mid-pagination.
+            alt_served = (
+                alt_listing_mod is not None
+                and source == "morizon"
+                and page % alt_listing_mod == 0
+            )
             rows.append(
                 {
                     "url": listing_url(source, page),
                     "kind": "listing",
                     "source": source,
                     "page_idx": page,
-                    "child_urls": child,
-                    "html": render_listing_html(source, page, child),
+                    "child_urls": [] if alt_served else child,
+                    "html": render_listing_html(source, page, [])
+                    if alt_served
+                    else render_listing_html(source, page, child),
                     "crawl_delay_ms": CRAWL_DELAY_MS[source],
                     "robots_allow": True,
                 }
             )
+            if alt_served:
+                rows.append(
+                    {
+                        "url": alt_listing_url(listing_url(source, page)),
+                        "kind": "listing",
+                        "source": source,
+                        "page_idx": page,
+                        "child_urls": child,
+                        "html": render_listing_html(source, page, child),
+                        "crawl_delay_ms": CRAWL_DELAY_MS[source],
+                        "robots_allow": True,
+                    }
+                )
         # investment pages (second hop): children in (sub_slot) order
         if source == "otodom":
             groups: dict[int, list[SynthOffer]] = {}
@@ -739,6 +811,19 @@ def make_robots_txt(offers: list[SynthOffer]) -> dict[str, str]:
         lines.append(f"Crawl-delay: {CRAWL_DELAY_MS[source] / 1000.0}")
         texts[domain] = "\n".join(lines) + "\n"
     return texts
+
+
+def geocode_dim_rows(offers: list[SynthOffer]) -> list[tuple]:
+    """The streetwise OSM memo (geocache_osm.json stand-in): (city, street,
+    dim_lat, dim_lon) rows carrying the TRUE point for every snap-adversary
+    offer — exactly the entries Nominatim would have resolved. Honest offers
+    miss the dim (unique adversary streets), so the snap can never touch
+    them — mirroring `_geocode_osm` returning None on a cache/API miss."""
+    return [
+        (o.city, o.street(), o.lat, o.lon)
+        for o in offers
+        if o.geo_snap_wrong
+    ]
 
 
 # ------------------------------------------------------------- Spark entry

@@ -41,7 +41,9 @@ def main() -> None:
     spark = get_spark(
         app_name=f"depth-{args.cpus}-{args.cards}",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=16,
+        # the fetch exchange is pinned to this width — scale it with the
+        # level so the data plane actually runs cpus-wide at both levels
+        shuffle_partitions=args.cpus,
     )
     spark.range(1000).count()  # JVM warmup
 
@@ -56,12 +58,14 @@ def main() -> None:
         spark,
         tempfile.mkdtemp(prefix=f"depth{args.cpus}_{args.cards}_"),
         graph,
-        # salts scale with the TARGET parallelism (same job at both levels):
-        # 4 domains × 16 salts = 64 domain_salt keys hashed into the pinned
-        # 16-partition fetch exchange — with only 16 keys, balls-into-bins
-        # collisions leave ~1/3 of partitions empty and the parse inherits
-        # the skewed cache layout (measured 1.6× on the staged path)
-        n_salts=16,
+        # widths all DERIVE from defaultParallelism (r3 verdict: fixed
+        # append_coalesce=4 / n_salts / seen_buckets capped the in-loop
+        # write stages at the same task count at every core count, and the
+        # depth-bench asymptote read 0.28). Derived: salt keys ≈ 4×
+        # partitions (balls-into-bins — fewer keys leave ~1/3 of partitions
+        # empty), append width = defaultParallelism, seen buckets ≥ 2×
+        # parallelism — each a per-level function, like executor-count-
+        # scaled table properties on a real cluster.
         lookahead=args.lookahead,
     )
     eng.seed(seed_urls())

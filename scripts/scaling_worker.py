@@ -48,12 +48,12 @@ def main() -> None:
         seed_urls,
     )
 
-    # shuffle partitions are a property of the JOB (data volume), not the
-    # cluster size — identical at both levels, AQE coalesces at runtime
+    # the fetch exchange is pinned to the shuffle width — scale it with the
+    # level so the loop's data plane runs cpus-wide at both levels
     spark = get_spark(
         app_name=f"scaling-{args.cpus}",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=16,
+        shuffle_partitions=args.cpus,
     )
     spark.range(1000).count()  # JVM warmup
 
@@ -63,10 +63,10 @@ def main() -> None:
     t0 = time.monotonic()
     eng = CrawlEngine(
         spark, tempfile.mkdtemp(prefix=f"scale{args.cpus}_"), graph,
-        # 64 domain_salt keys (4×16) into the 16-partition fetch exchange:
-        # enough keys that salt-hash collisions don't idle partitions (the
-        # same salts-scale-with-executors knob the dataplane stage uses)
-        n_salts=16, lookahead=4,
+        # widths (salt keys ≈ 4× partitions, append fan-in, seen buckets)
+        # DERIVE from defaultParallelism — the per-level table/job
+        # properties a real cluster would scale with executor count
+        lookahead=4,
     )
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=args.pages + 3)

@@ -89,6 +89,21 @@ def simulate_reference_crawl(
             links = [
                 urljoin(row["url"], h) for h in _HREF_RE.findall(row["html"])
             ]
+            if not links:
+                # O9 fallback (morizon.py:672-679): primary template served
+                # no links → one retry under the /nieruchomosci/ alternate
+                # spelling before the auto-stop rules fire
+                alt = row["url"].replace(
+                    "https://www.morizon.pl/",
+                    "https://www.morizon.pl/nieruchomosci/",
+                    1,
+                )
+                alt_row = pages.get(normalize_url(alt)) if alt != row["url"] else None
+                if alt_row is not None:
+                    links = [
+                        urljoin(alt_row["url"], h)
+                        for h in _HREF_RE.findall(alt_row["html"])
+                    ]
             next_listing = None
             new_count = 0
             for slot, href in enumerate(links):

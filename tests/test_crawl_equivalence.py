@@ -315,3 +315,82 @@ def test_city_slug_fallback_exercised(engine_run, corpus):
     got = {r["offer_id"]: r["city"] for r in eng.offers().collect()}
     for o in affected:
         assert got.get(o.offer_id) == o.city, (o.offer_id, got.get(o.offer_id))
+
+
+def test_geo_snap_override_with_osm_dim(spark, tmp_path):
+    """J8 _snap_geo_if_far (morizon.py:472-487): an engine given the OSM
+    streetwise memo OVERRIDES wrong-but-in-bbox page geo (>800 m rule) with
+    the dim's point; without the dim the page value stands — per-row golden
+    equality in both modes, honest rows identical across them."""
+    from realestate_scraper_spark.sources.synth import geocode_dim_rows
+
+    offers, _, graph = build_corpus(seed=42, n_pages=3, cards_per_page=4)
+    adversaries = [o for o in offers if o.geo_snap_wrong]
+    assert adversaries, "corpus must contain snap adversaries"
+    dim = spark.createDataFrame(
+        geocode_dim_rows(offers),
+        "city string, street string, dim_lat double, dim_lon double",
+    )
+
+    def run(run_dir, **kw):
+        eng = CrawlEngine(spark, run_dir, graph, n_salts=2, **kw)
+        eng.seed(seed_urls())
+        eng.run(max_rounds=12)
+        return {r["offer_id"]: r.asDict() for r in eng.offers().collect()}
+
+    with_dim = run(str(tmp_path / "snap"), geocode_dim=dim)
+    without = run(str(tmp_path / "nosnap"))
+
+    for o in offers:
+        if o.offer_id in with_dim and o.ordinal % 23 != 21:
+            g_snap = o.golden_row(osm_snap=True)
+            g_page = o.golden_row()
+            for k in ("lat", "lon"):
+                assert with_dim[o.offer_id][k] == pytest.approx(
+                    g_snap[k], abs=1e-6
+                ), (o.offer_id, k, "with dim")
+                assert without[o.offer_id][k] == pytest.approx(
+                    g_page[k], abs=1e-6
+                ), (o.offer_id, k, "without dim")
+    for o in adversaries:
+        # the override actually moved the adversary (≈2.5 km apart)
+        assert with_dim[o.offer_id]["lat"] != without[o.offer_id]["lat"]
+
+
+def test_alt_listing_url_fallback(spark, tmp_path):
+    """O9 (morizon.py:631-635,672-679): morizon pages whose primary template
+    serves an empty shell recover through the /nieruchomosci/ alternate
+    spelling — the region completes the full pagination instead of stopping
+    no_new, and the URL-seen set still equals the reference simulator's
+    (which mirrors the same fallback)."""
+    from realestate_scraper_spark.sources.synth import (
+        make_offers,
+        make_site_graph,
+    )
+
+    offers = make_offers(seed=42, n_pages=4, cards_per_page=5)
+    graph = make_site_graph(offers, n_pages=4, alt_listing_mod=2)
+    run_dir = str(tmp_path / "alt")
+    eng = CrawlEngine(spark, run_dir, graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=20)
+
+    yields, _, stop_reasons = simulate_reference_crawl(graph, seed_urls())
+    ref_set = {y["url_canon"] for y in yields}
+    got = {
+        r["url_canon"]
+        for r in eng.frontier().filter(F.col("kind") == "offer").collect()
+    }
+    assert got == ref_set
+    # the fallback actually mattered: page-2/4 morizon offers were reachable
+    # only through the alt spelling, and both crawls got them
+    assert any(
+        y["source"] == "morizon" and y["page_idx"] in (2, 4) for y in yields
+    )
+    assert any(
+        o.source == "morizon"
+        and o.page_idx in (2, 4)
+        and o.url.replace("//", "//") in {y["url"] for y in yields}
+        for o in offers
+    )
+    assert stop_reasons.get("morizon") != "no_new"

@@ -80,3 +80,31 @@ def test_mime_pregate_quarantines_junk_bytes(spark, tmp_path):
     assert linked_victims, "tampered images not linked by the crawl — widen"
     for iid in linked_victims:
         assert q.get(iid) == "mime_mismatch", iid
+
+
+def test_process_images_with_thumbnails(spark, tmp_path):
+    """Thumbnail stage wired into the engine sink: the curated images table
+    carries (thumb, thumb_w, thumb_h) alongside the input_hint columns, the
+    thumbs respect the max-dim and aspect ratio, and decode round-trips."""
+    from realestate_scraper_spark.functions.images import decode_image
+
+    offers, images, graph = build_corpus(seed=42, n_pages=1, cards_per_page=6)
+    eng = CrawlEngine(spark, str(tmp_path / "thumbs"), graph, n_salts=2)
+    eng.seed(seed_urls())
+    eng.run(max_rounds=4)
+
+    images_input = spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+    out = eng.process_images(images_input, thumbnails=48)
+    assert [f.name for f in out.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "thumb", "thumb_w", "thumb_h",
+    ]
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["thumb"] is not None, r["image_id"]
+        assert max(r["thumb_w"], r["thumb_h"]) <= 48
+        # aspect preserved within integer rounding
+        assert abs(r["thumb_w"] / r["thumb_h"] - r["w"] / r["h"]) < 0.12
+        px = decode_image(bytes(r["thumb"]), "png")
+        assert px.shape == (r["thumb_h"], r["thumb_w"], 3)

@@ -141,3 +141,44 @@ def test_geocode_with_memo_batches_and_memoizes(spark, tmp_path):
     got2 = {r["offer_id"]: r for r in geocode_with_memo(offers, dim_table, resolver).collect()}
     assert calls == [["Unknown"]]
     assert got2["o2"]["lat"] == 51.25
+
+
+def test_geocode_snap_override(spark):
+    """J8 snap (_snap_geo_if_far, morizon.py:472-487): dim point replaces
+    page geo when missing, out-of-bbox, or >800 m away; near/absent dim
+    entries leave the page value alone."""
+    from realestate_scraper_spark.operators.spatial import geocode_snap
+
+    offers = spark.createDataFrame(
+        [
+            # >800 m off → snapped
+            ("far", "Gdansk", "ul. A 1", 54.37, 18.67),
+            # ~50 m off → kept
+            ("near", "Gdansk", "ul. B 2", 54.3504, 18.6502),
+            # page geo missing → filled from dim
+            ("null", "Gdansk", "ul. C 3", None, None),
+            # out-of-bbox page geo → replaced
+            ("oob", "Gdansk", "ul. D 4", 61.2, 7.1),
+            # no dim entry → untouched even though far from everything
+            ("miss", "Gdansk", "ul. X 9", 51.0, 20.0),
+        ],
+        "offer_id string, city string, street string, lat double, lon double",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("Gdansk", "ul. A 1", 54.35, 18.65),
+            ("Gdansk", "ul. B 2", 54.35, 18.65),
+            ("Gdansk", "ul. C 3", 54.35, 18.65),
+            ("Gdansk", "ul. D 4", 54.35, 18.65),
+        ],
+        "city string, street string, dim_lat double, dim_lon double",
+    )
+    got = {
+        r["offer_id"]: (r["lat"], r["lon"])
+        for r in geocode_snap(offers, dim).collect()
+    }
+    assert got["far"] == (54.35, 18.65)
+    assert got["near"] == (54.3504, 18.6502)
+    assert got["null"] == (54.35, 18.65)
+    assert got["oob"] == (54.35, 18.65)
+    assert got["miss"] == (51.0, 20.0)

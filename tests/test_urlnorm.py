@@ -111,3 +111,34 @@ def test_hash_and_salt_shapes(spark):
     assert len({r["h64"] for r in a}) == 1
     assert len({r["h32"] for r in a}) == 1
     assert len({r["ds"] for r in a}) == 1
+
+
+def test_absolutize_href_shapes(spark):
+    """F4 urljoin parity incl. the path-less-parent edge (ADVICE r3): a
+    bare-relative href against "https://host" / "https://host?page=2" must
+    resolve to host-rooted, exactly like urllib's urljoin."""
+    from urllib.parse import urljoin
+
+    from pyspark.sql import functions as F
+
+    from realestate_scraper_spark.crawl.frontier import absolutize_href_expr
+
+    cases = [
+        ("https://a.pl/list/sub", "https://b.pl/x"),
+        ("https://a.pl/list/sub", "//cdn.pl/img"),
+        ("https://a.pl/list/sub", "/pl/oferta/x"),
+        ("https://a.pl/list/sub", "oferta/x"),
+        ("https://a.pl", "oferta/x"),
+        ("https://a.pl?page=2", "oferta/x"),
+        ("https://a.pl/", "oferta/x"),
+    ]
+    df = spark.createDataFrame(cases, "parent string, href string")
+    got = df.select(
+        "parent",
+        "href",
+        absolutize_href_expr(F.col("href"), F.col("parent")).alias("abs"),
+    ).collect()
+    for r in got:
+        assert r["abs"] == urljoin(r["parent"], r["href"]), (
+            r["parent"], r["href"], r["abs"]
+        )
