@@ -83,11 +83,15 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     t0 = time.monotonic()
     # lookahead=4: the throughput configuration (rounds ≈ depth/4); strict
-    # reference-equivalence runs keep lookahead=0 (see engine docstring)
-    # n_salts=16 → 64 domain_salt keys into the 16-partition fetch exchange
-    # (salt-hash collisions idle partitions at 16 keys; salts scale with
-    # target parallelism, politeness budget per domain is unchanged)
-    eng = CrawlEngine(spark, run_dir, graph, n_salts=16, lookahead=4)
+    # reference-equivalence runs keep lookahead=0 (see engine docstring).
+    # Widths pinned to the LOAD, not the core count: this corpus is 1,152
+    # pages — the auto-derived 32-core widths (128 salts, 64 seen buckets,
+    # 32-file appends) are sized for fat rounds and pure overhead here;
+    # the scale evidence for derived widths is the depth bench.
+    eng = CrawlEngine(
+        spark, run_dir, graph, n_salts=16, lookahead=4,
+        append_coalesce=4, seen_buckets=8,
+    )
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=30)
     crawl_sec = time.monotonic() - t0

@@ -527,13 +527,21 @@ class CrawlEngine:
         if self.real_sleep and self._wall_t0 is None:
             self._wall_t0 = time.time()
         with self._phase("fetch_plan"):
-            fetched = fetch_mod.fetch(
+            # FUSED fetch+parse (fetch.make_fetch_parse_stage): the page
+            # html is built, link-extracted and field-parsed inside ONE
+            # python pass and never crosses the stage boundary — the round
+            # caches only structured rows (page bookkeeping + links + raw
+            # offer fields), not a multi-GB html corpus. This was the
+            # measured in-loop scale limiter after the write widths were
+            # parallelism-derived.
+            fetched = fetch_mod.fetch_parse(
                 batch, self.page_store_bc, self.n_salts,
                 real_sleep=self.real_sleep,
                 robots_rules_bc=self._robots_bc(),
                 start_offsets=dict(self._salt_clock),
                 t0_wall=self._wall_t0,
             ).cache()
+            pages = fetched.filter(F.col("row_kind") == "page")
 
         # ---- ACTION 1: fetch summary (batch size, lineage counters, status
         #      mix, per-page yield accounting, politeness high-water marks)
@@ -550,7 +558,7 @@ class CrawlEngine:
             ) & (F.col("attempts") + 1 < self.max_transient_attempts)
             page_key = F.when(F.col("kind") == "listing", F.col("page_idx"))
             summary = (
-                fetched.groupBy(
+                pages.groupBy(
                     "source", "domain_salt", "kind", "fetch_status",
                     requeue_expr.alias("requeue"),
                     page_key.alias("page_key"),
@@ -597,18 +605,25 @@ class CrawlEngine:
         #      already-materialized `fetched` cache, so the round's two
         #      independent output jobs share the executor pool instead of
         #      serializing driver-submission latency.
-        staged_fut = self._staged_pool.submit(self._stage_offers, fetched)
+        staged_fut = self._staged_pool.submit(self._stage_offers, pages)
 
-        # ---- listings + investment pages → new frontier candidates
-        listings = fetched.filter(F.col("kind").isin("listing", "investment"))
-        links = listings.select(
-            "source", "page_idx", "url", "slot", "kind", "html"
-        ).mapInPandas(parse_mod.extract_links_batches, schema=parse_mod.LINKS_FIELDS)
+        # ---- link rows (already extracted inside the fused stage) → new
+        #      frontier candidates; url/slot/kind on a link row are the
+        #      PARENT page's
+        links = fetched.filter(F.col("row_kind") == "link").select(
+            "source",
+            "page_idx",
+            F.col("url").alias("parent_url"),
+            F.col("slot").alias("parent_slot"),
+            F.col("kind").alias("parent_kind"),
+            "dom_idx",
+            "href",
+        )
         if self.lookahead:
             # speculative page-param bumps; a real next-page link discovered
             # on page N canonicalizes identically to the N+1 speculation, so
             # the in-batch window + anti-join collapse them to one row
-            ok_listings = fetched.filter(
+            ok_listings = pages.filter(
                 (F.col("kind") == "listing")
                 & (F.col("fetch_status") == fetch_mod.FETCH_OK)
             )
@@ -657,45 +672,65 @@ class CrawlEngine:
             if ins_n
             else None
         )
-        new_n = 0
-        new_offer_counts: dict[str, int] = defaultdict(int)
-        if new_df is not None:
+        # ---- the four post-insert jobs are INDEPENDENT (seen table, Bloom
+        # bitmaps, driver counters, frontier update delta — the update
+        # append is ordered after the insert append simply by running now)
+        # and all read small disk-backed inputs: run them as concurrent
+        # jobs from a scratch thread pool, same overlap rationale as the
+        # staging thread. ~3-5 s/round of serialized small-job latency at
+        # depth-bench load becomes max() of the four.
+        with self._phase("updates_plan"):
+            updates = self._status_updates(pages)
+
+        def _upd() -> int:
+            with self._phase("update_append"):
+                return self.t_frontier.append(
+                    self._coalesced(updates.select(*FRONTIER_COLS)),
+                    round_idx=self.round_idx,
+                    stage="update",
+                )
+
+        def _seen() -> None:
             # seen-store append: O(new URLs), bucketed (url_canon only)
             with self._phase("seen_append"):
                 self.seen_store.append(new_df)
-            # Bloom delta: built distributed per shard, OR-merged driver-side
-            # (~KB bitmaps) — no row collect (north_rule Bloom lifecycle)
+
+        def _bloom():
+            # Bloom delta: built distributed per shard, OR-merged driver-
+            # side (~KB bitmaps) — no row collect (north_rule lifecycle)
             with self._phase("bloom_build"):
-                self.bloom.merge(
-                    ShardedBloom.build(
-                        new_df,
-                        expected_per_shard=self.bloom.expected_per_shard,
-                        fpp=self.bloom_fpp,
-                    )
+                return ShardedBloom.build(
+                    new_df,
+                    expected_per_shard=self.bloom.expected_per_shard,
+                    fpp=self.bloom_fpp,
                 )
+
+        def _agg():
             with self._phase("new_rows_agg"):
-                agg = self._new_rows_agg(new_df)
-            self._track_new_agg(agg)
-            for r in agg:
-                new_n += r["n"]
-                if r["kind"] != "listing":  # offers + investments = yield
-                    new_offer_counts[r["source"]] += r["n"]
+                return self._new_rows_agg(new_df)
+
+        new_n = 0
+        new_offer_counts: dict[str, int] = defaultdict(int)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            upd_fut = pool.submit(_upd)
+            if new_df is not None:
+                seen_fut = pool.submit(_seen)
+                bloom_fut = pool.submit(_bloom)
+                agg_fut = pool.submit(_agg)
+                seen_fut.result()
+                self.bloom.merge(bloom_fut.result())
+                agg = agg_fut.result()
+                self._track_new_agg(agg)
+                for r in agg:
+                    new_n += r["n"]
+                    if r["kind"] != "listing":  # offers + investments
+                        new_offer_counts[r["source"]] += r["n"]
+            upd_n = upd_fut.result()
 
         # ---- join the overlapped staging job (see submit above)
         with self._phase("staged_join"):
             offers_n = staged_fut.result()
         self._offers_total += offers_n
-
-        # ---- frontier transitions as an O(batch) UPDATE DELTA (latest-wins
-        #      on read) — replaces the full-frontier join + rewrite.
-        with self._phase("updates_plan"):
-            updates = self._status_updates(fetched)
-        with self._phase("update_append"):
-            upd_n = self.t_frontier.append(
-                self._coalesced(updates.select(*FRONTIER_COLS)),
-                round_idx=self.round_idx,
-                stage="update",
-            )
 
         # ---- next working set: O(batch) unions whose roots are all ON DISK
         # (previous checkpoint + this round's delta parquet), so the lazy
@@ -765,20 +800,18 @@ class CrawlEngine:
         fetched.unpersist()
         return True, batch_n, offers_n
 
-    def _stage_offers(self, fetched: DataFrame) -> int:
-        """Offers → parse cascade → refine → one staged append; returns the
-        round's valid-offer count (parquet footers, no extra job). Runs on
-        the staging thread — touches only t_staged and the fetched cache."""
+    def _stage_offers(self, pages: DataFrame) -> int:
+        """Parsed offer rows (raw fields came out of the fused fetch+parse
+        stage) → refine → one staged append; returns the round's
+        valid-offer count (parquet footers, no extra job). Runs on the
+        staging thread — touches only t_staged and the fetched cache."""
         with self._phase("staged_plan"):
-            offers_fetched = fetched.filter(
+            parsed = pages.filter(
                 (F.col("kind") == "offer")
                 & (F.col("fetch_status") == fetch_mod.FETCH_OK)
-            )
-            parsed = offers_fetched.select(
+            ).select(
                 "url", "url_canon", "source", "page_idx", "slot", "sub_slot",
-                "html",
-            ).mapInPandas(
-                parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS
+                *parse_mod.RAW_COL_NAMES,
             )
             if self.geocode_dim is not None:
                 # broadcast streetwise memo join keyed on the PAGE's own

@@ -95,6 +95,115 @@ def build_page_store(
     }
 
 
+def _make_fetch_core(
+    page_store_bc,
+    n_salts: int,
+    real_sleep: bool = False,
+    robots_rules_bc=None,
+    start_offsets: dict[str, float] | None = None,
+    t0_wall: float | None = None,
+):
+    """The per-row fetch closure (politeness token buckets, robots gating,
+    synthetic failure modes, O9 alternate-spelling fallback) shared by the
+    html-emitting stage and the fused fetch+parse stage. Returns
+    ``fetch_row(url_canon, domain, salt, kind, attempts, allowed) →
+    (html | None, fetch_status, fetched_at_ms)``."""
+    from realestate_scraper_spark.functions.urlnorm import canonicalize_url_py
+
+    store = page_store_bc.value
+    rules = robots_rules_bc.value if robots_rules_bc is not None else None
+    # representative page weight (synth.make_site_graph page_weight_kb):
+    # expanded here, executor-side, so the broadcast store stays small
+    _fillers: dict[int, str] = {}
+
+    def _pad(html: str, kb: int) -> str:
+        if not kb:
+            return html
+        if kb not in _fillers:
+            unit = "lorem ipsum dolor sit amet consectetur "
+            _fillers[kb] = "<p>" + unit * (kb * 1024 // len(unit)) + "</p>"
+        return html + _fillers[kb]
+
+    # Per-(domain,salt) virtual token bucket: next free slot in ms, seeded
+    # from previous rounds' clocks. A bucket's budget is the domain delay ×
+    # salt shards, so the domain-aggregate rate across all shards/tasks
+    # matches the configured one.
+    starts = start_offsets or {}
+    next_free: dict[str, float] = {}
+    t0 = t0_wall if t0_wall is not None else time.time()
+
+    def _grant(key: str, eff_delay: float) -> float:
+        """Consume one politeness slot; returns its virtual ms."""
+        if key not in next_free:
+            base = starts.get(key)
+            next_free[key] = 0.0 if base is None else base + eff_delay
+        at = max(next_free[key], 0.0)
+        if real_sleep:
+            now_ms = (time.time() - t0) * 1000.0
+            if now_ms >= at:
+                # we're late (driver overhead between rounds): anchor to
+                # wall so the NEXT grant spaces from reality — a token
+                # bucket with no burst accumulation, like the reference's
+                # `delay - elapsed` wait (http.py:13-21)
+                at = now_ms
+            else:
+                time.sleep((at - now_ms) / 1000.0)
+        next_free[key] = at + eff_delay
+        return at
+
+    def fetch_row(url_canon, domain, salt, kind, attempts, allowed_by_rules):
+        if not allowed_by_rules:
+            return None, FETCH_ROBOTS, -1.0
+        if rules is not None:
+            r = rules.get(domain)
+            # canonicalize_url rstrips "/", so a root URL has no path
+            # separator after the scheme — treat it as "/" (same
+            # convention as politeness.apply_robots)
+            sep = url_canon.find("/", 8)
+            if r is not None and not r.allows(
+                url_canon[sep:] if sep != -1 else "/"
+            ):
+                return None, FETCH_ROBOTS, -1.0
+        rec = store.get(url_canon)
+        if rec is None:
+            return None, FETCH_MISSING, -1.0
+        html, allow, delay_ms, flaky, retry_after, weight_kb = rec
+        # a robots.txt Crawl-delay larger than the configured budget wins
+        # (the polite maximum of the two; the reference has no robots
+        # handling — north_rule addition)
+        if rules is not None:
+            r = rules.get(domain)
+            if r is not None and r.crawl_delay_ms is not None:
+                delay_ms = max(delay_ms, r.crawl_delay_ms)
+        if not allow:
+            return None, FETCH_ROBOTS, -1.0
+        if (flaky or retry_after) and int(attempts) == 0:
+            # failed request — budget IS spent (the request went out);
+            # Retry-After style → TRANSIENT (in-run re-enqueue, ST8),
+            # hard failure → FAIL (terminal this run, ST5)
+            at = _grant(salt, delay_ms * n_salts)
+            return None, (FETCH_TRANSIENT if retry_after else FETCH_FAIL), at
+        # shard's share of the budget: delay × n_salts per shard
+        at = _grant(salt, delay_ms * n_salts)
+        # O9 (morizon.py:672-679): a listing page that fetched OK but
+        # carries no links gets ONE retry under the alternate URL spelling
+        # — a second real request, so a second politeness grant — before
+        # the row goes back as a zero-yield page feeding the
+        # no_links/no_new stop rules. The frontier row keeps the PRIMARY
+        # url; only the content is served from the alternate (hrefs in
+        # listing cards are path-absolute, so absolutization is
+        # base-independent).
+        if kind == "listing" and "<a href" not in html:
+            alt = alt_listing_spelling(url_canon)
+            alt_rec = store.get(canonicalize_url_py(alt)) if alt else None
+            if alt_rec is not None and alt_rec[1]:
+                html, _, _, _, _, weight_kb = alt_rec
+                at = _grant(salt, delay_ms * n_salts)
+        return _pad(html, weight_kb), FETCH_OK, at
+
+    return fetch_row
+
+
 def make_fetch_stage(
     page_store_bc,
     n_salts: int,
@@ -122,51 +231,13 @@ def make_fetch_stage(
     ``t0_wall`` anchors virtual ms 0 to the run's wall start (epoch secs)
     so real_sleep targets are run-global, not round-local."""
 
+    fetch_row = _make_fetch_core(
+        page_store_bc, n_salts, real_sleep=real_sleep,
+        robots_rules_bc=robots_rules_bc, start_offsets=start_offsets,
+        t0_wall=t0_wall,
+    )
+
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from realestate_scraper_spark.functions.urlnorm import (
-            canonicalize_url_py,
-        )
-
-        store = page_store_bc.value
-        rules = robots_rules_bc.value if robots_rules_bc is not None else None
-        # representative page weight (synth.make_site_graph page_weight_kb):
-        # expanded here, executor-side, so the broadcast store stays small
-        _fillers: dict[int, str] = {}
-
-        def _pad(html: str, kb: int) -> str:
-            if not kb:
-                return html
-            if kb not in _fillers:
-                unit = "lorem ipsum dolor sit amet consectetur "
-                _fillers[kb] = "<p>" + unit * (kb * 1024 // len(unit)) + "</p>"
-            return html + _fillers[kb]
-        # Per-(domain,salt) virtual token bucket: next free slot in ms,
-        # seeded from previous rounds' clocks. A bucket's budget is the
-        # domain delay × salt shards, so the domain-aggregate rate across
-        # all shards/tasks matches the configured one.
-        starts = start_offsets or {}
-        next_free: dict[str, float] = {}
-        t0 = t0_wall if t0_wall is not None else time.time()
-
-        def _grant(key: str, eff_delay: float) -> float:
-            """Consume one politeness slot; returns its virtual ms."""
-            if key not in next_free:
-                base = starts.get(key)
-                next_free[key] = 0.0 if base is None else base + eff_delay
-            at = max(next_free[key], 0.0)
-            if real_sleep:
-                now_ms = (time.time() - t0) * 1000.0
-                if now_ms >= at:
-                    # we're late (driver overhead between rounds): anchor to
-                    # wall so the NEXT grant spaces from reality — a token
-                    # bucket with no burst accumulation, like the
-                    # reference's `delay - elapsed` wait (http.py:13-21)
-                    at = now_ms
-                else:
-                    time.sleep((at - now_ms) / 1000.0)
-            next_free[key] = at + eff_delay
-            return at
-
         for pdf in batches:
             out_html, out_status, out_at = [], [], []
             # optional robots pre-gate column (politeness.apply_robots):
@@ -180,74 +251,11 @@ def make_fetch_stage(
                 pdf["url_canon"], pdf["domain"], pdf["domain_salt"],
                 pdf["kind"], pdf["attempts"], gate
             ):
-                if not allowed_by_rules:
-                    out_html.append(None)
-                    out_status.append(FETCH_ROBOTS)
-                    out_at.append(-1.0)
-                    continue
-                if rules is not None:
-                    r = rules.get(domain)
-                    # canonicalize_url rstrips "/", so a root URL has no
-                    # path separator after the scheme — treat it as "/"
-                    # (same convention as politeness.apply_robots)
-                    sep = url_canon.find("/", 8)
-                    if r is not None and not r.allows(
-                        url_canon[sep:] if sep != -1 else "/"
-                    ):
-                        out_html.append(None)
-                        out_status.append(FETCH_ROBOTS)
-                        out_at.append(-1.0)
-                        continue
-                rec = store.get(url_canon)
-                if rec is None:
-                    out_html.append(None)
-                    out_status.append(FETCH_MISSING)
-                    out_at.append(-1.0)
-                    continue
-                html, allow, delay_ms, flaky, retry_after, weight_kb = rec
-                # a robots.txt Crawl-delay larger than the configured budget
-                # wins (the polite maximum of the two; the reference has no
-                # robots handling — north_rule addition)
-                if rules is not None:
-                    r = rules.get(domain)
-                    if r is not None and r.crawl_delay_ms is not None:
-                        delay_ms = max(delay_ms, r.crawl_delay_ms)
-                if not allow:
-                    out_html.append(None)
-                    out_status.append(FETCH_ROBOTS)
-                    out_at.append(-1.0)
-                    continue
-                if (flaky or retry_after) and int(attempts) == 0:
-                    # failed request — budget IS spent (the request went out);
-                    # Retry-After style → TRANSIENT (in-run re-enqueue, ST8),
-                    # hard failure → FAIL (terminal this run, ST5)
-                    at = _grant(salt, delay_ms * n_salts)
-                    out_html.append(None)
-                    out_status.append(
-                        FETCH_TRANSIENT if retry_after else FETCH_FAIL
-                    )
-                    out_at.append(at)
-                    continue
-                # shard's share of the budget: delay × n_salts per shard
-                at = _grant(salt, delay_ms * n_salts)
-                # O9 (morizon.py:672-679): a listing page that fetched OK
-                # but carries no links gets ONE retry under the alternate
-                # URL spelling — a second real request, so a second
-                # politeness grant — before the row goes back as a
-                # zero-yield page feeding the no_links/no_new stop rules.
-                # The frontier row keeps the PRIMARY url; only the content
-                # is served from the alternate (hrefs in listing cards are
-                # path-absolute, so absolutization is base-independent).
-                if kind == "listing" and "<a href" not in html:
-                    alt = alt_listing_spelling(url_canon)
-                    alt_rec = (
-                        store.get(canonicalize_url_py(alt)) if alt else None
-                    )
-                    if alt_rec is not None and alt_rec[1]:
-                        html, _, _, _, _, weight_kb = alt_rec
-                        at = _grant(salt, delay_ms * n_salts)
-                out_html.append(_pad(html, weight_kb))
-                out_status.append(FETCH_OK)
+                html, status, at = fetch_row(
+                    url_canon, domain, salt, kind, attempts, allowed_by_rules
+                )
+                out_html.append(html)
+                out_status.append(status)
                 out_at.append(at)
             yield pd.DataFrame(
                 {
@@ -269,6 +277,156 @@ def make_fetch_stage(
             )
 
     return fetch_batches
+
+
+# Fused fetch+parse output: one schema for BOTH row shapes —
+#   row_kind='page': one row per fetched URL (fetch bookkeeping + the offer
+#     parse cascade's raw fields when the page was an OK offer)
+#   row_kind='link': one row per extracted link of an OK listing/investment
+#     page (url/slot/kind = the PARENT's; dom_idx/href = the link)
+# The page html NEVER leaves the python worker: it is built, parsed and
+# dropped inside one closure, so the round caches only structured rows —
+# no multi-GB Arrow transfer, no html in the storage layer (at 10^10-URL
+# scale the raw-html column is the one thing you cannot afford to cache
+# per round).
+FUSED_FIELDS = (
+    "row_kind string, url string, url_canon string, url_hash64 long, "
+    "source string, domain string, domain_salt string, kind string, "
+    "page_idx int, slot int, sub_slot int, attempts int, "
+    "fetch_status string, fetched_at_ms double, "
+    "dom_idx int, href string, "
+    "parse_ok boolean, raw_price double, raw_currency string, "
+    "raw_ppm2 double, raw_area double, raw_rooms int, raw_city string, "
+    "raw_lat double, raw_lon double, "
+    "photo_urls array<struct<url: string, w: int>>, "
+    "raw_title string, raw_district string, raw_street string, "
+    "raw_floor int, raw_floors int, raw_market string, raw_ptype string, "
+    "raw_posted string, raw_updated string, raw_year int, "
+    "raw_features array<string>"
+)
+
+_META_COLS = (
+    "url", "url_canon", "url_hash64", "source", "domain", "domain_salt",
+    "kind", "page_idx", "slot", "sub_slot", "attempts",
+)
+
+
+def make_fetch_parse_stage(
+    page_store_bc,
+    n_salts: int,
+    real_sleep: bool = False,
+    robots_rules_bc=None,
+    start_offsets: dict[str, float] | None = None,
+    t0_wall: float | None = None,
+):
+    """The fused stage: politeness-governed fetch + link extraction + offer
+    parse cascade in ONE python pass per partition (same semantics as
+    make_fetch_stage → extract_links_batches/parse_offer_batches chained,
+    equivalence-tested). Exists because materializing the fetched html
+    between stages costs a cache round-trip of the whole page corpus every
+    round — the measured in-loop scale limiter."""
+    from realestate_scraper_spark.crawl import parse as parse_mod
+
+    fetch_row = _make_fetch_core(
+        page_store_bc, n_salts, real_sleep=real_sleep,
+        robots_rules_bc=robots_rules_bc, start_offsets=start_offsets,
+        t0_wall=t0_wall,
+    )
+
+    def fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gate = (
+                pdf["robots_allowed"]
+                if "robots_allowed" in pdf.columns
+                else [True] * len(pdf)
+            )
+            meta: dict[str, list] = {c: [] for c in _META_COLS}
+            rk, st, at_ms, dom_idx, href = [], [], [], [], []
+            raw: dict[str, list] = {k: [] for k in parse_mod.RAW_COL_NAMES}
+
+            def emit_meta(row):
+                for c in _META_COLS:
+                    meta[c].append(row[c])
+
+            rows = pdf.to_dict("records")
+            for row, allowed in zip(rows, gate):
+                html, status, at = fetch_row(
+                    row["url_canon"], row["domain"], row["domain_salt"],
+                    row["kind"], row["attempts"], allowed,
+                )
+                # the page row (always)
+                emit_meta(row)
+                rk.append("page")
+                st.append(status)
+                at_ms.append(at)
+                dom_idx.append(None)
+                href.append(None)
+                if status == FETCH_OK and row["kind"] == "offer":
+                    parse_mod.append_parsed_offer(raw, html)
+                else:
+                    # parse_ok=False, all raw fields null
+                    parse_mod.append_parsed_offer(raw, None)
+                # link rows (OK listing/investment pages)
+                if (
+                    status == FETCH_OK
+                    and row["kind"] in ("listing", "investment")
+                    and html is not None
+                ):
+                    for i, link in enumerate(
+                        parse_mod._HREF_RE.findall(html)
+                    ):
+                        emit_meta(row)
+                        rk.append("link")
+                        st.append(status)
+                        at_ms.append(at)
+                        dom_idx.append(i)
+                        href.append(link)
+                        parse_mod.append_parsed_offer(raw, None)
+            out = {
+                "row_kind": pd.Series(rk, dtype="object"),
+                **{
+                    c: pd.Series(meta[c])
+                    for c in _META_COLS
+                },
+                "fetch_status": pd.Series(st, dtype="object"),
+                "fetched_at_ms": pd.Series(at_ms, dtype="float64"),
+                "dom_idx": pd.Series(dom_idx, dtype="Int32"),
+                "href": pd.Series(href, dtype="object"),
+                **parse_mod.raw_cols_to_series(raw),
+            }
+            yield pd.DataFrame(out)
+
+    return fused_batches
+
+
+def fetch_parse(
+    frontier_batch: DataFrame,
+    page_store_bc,
+    n_salts: int,
+    real_sleep: bool = False,
+    robots_rules_bc=None,
+    start_offsets: dict[str, float] | None = None,
+    t0_wall: float | None = None,
+) -> DataFrame:
+    """Repartition by domain_salt and run the FUSED fetch+parse stage (see
+    make_fetch_parse_stage); the same pinned-count exchange rationale as
+    :func:`fetch`."""
+    cols = list(_META_COLS)
+    if "robots_allowed" in frontier_batch.columns:
+        cols.append("robots_allowed")
+    stage = make_fetch_parse_stage(
+        page_store_bc, n_salts, real_sleep=real_sleep,
+        robots_rules_bc=robots_rules_bc,
+        start_offsets=start_offsets, t0_wall=t0_wall,
+    )
+    n_part = int(
+        frontier_batch.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        frontier_batch.select(*cols)
+        .repartition(n_part, F.col("domain_salt"))
+        .mapInPandas(stage, schema=FUSED_FIELDS)
+    )
 
 
 def fetch(

@@ -286,73 +286,93 @@ def _from_css(html: str, out: dict) -> None:
         _fill(out, "features", feats)
 
 
+RAW_COL_NAMES = (
+    "parse_ok", "raw_price", "raw_currency", "raw_ppm2", "raw_area",
+    "raw_rooms", "raw_city", "raw_lat", "raw_lon", "photo_urls",
+    "raw_title", "raw_district", "raw_street", "raw_floor",
+    "raw_floors", "raw_market", "raw_ptype", "raw_posted",
+    "raw_updated", "raw_year", "raw_features",
+)
+
+
+def append_parsed_offer(cols: dict[str, list], html: str | None) -> None:
+    """Run the merge cascade on one page and append the 21 raw values to
+    ``cols`` (the per-row core shared by :func:`parse_offer_batches` and
+    the fused fetch+parse stage in crawl/fetch.py)."""
+    out: dict = {}
+    if html is not None:
+        _from_ldjson(html, out)
+        _from_nextdata(html, out)
+        _from_css(html, out)
+    get = out.get
+    cols["parse_ok"].append(bool(out))
+    cols["raw_price"].append(
+        float(get("price")) if get("price") is not None else None
+    )
+    cols["raw_currency"].append(get("currency"))
+    cols["raw_ppm2"].append(
+        float(get("ppm2")) if get("ppm2") is not None else None
+    )
+    cols["raw_area"].append(
+        float(get("area")) if get("area") is not None else None
+    )
+    cols["raw_rooms"].append(
+        int(get("rooms")) if get("rooms") is not None else None
+    )
+    cols["raw_city"].append(get("city"))
+    cols["raw_lat"].append(
+        float(get("lat")) if get("lat") is not None else None
+    )
+    cols["raw_lon"].append(
+        float(get("lon")) if get("lon") is not None else None
+    )
+    cols["photo_urls"].append(
+        [{"url": u, "w": w} for u, w in (get("photos") or [])]
+    )
+    cols["raw_title"].append(get("title"))
+    cols["raw_district"].append(get("district"))
+    cols["raw_street"].append(get("street"))
+    cols["raw_floor"].append(
+        int(get("floor")) if get("floor") is not None else None
+    )
+    cols["raw_floors"].append(
+        int(get("floors")) if get("floors") is not None else None
+    )
+    cols["raw_market"].append(get("market"))
+    cols["raw_ptype"].append(get("ptype"))
+    cols["raw_posted"].append(get("posted"))
+    cols["raw_updated"].append(get("updated"))
+    cols["raw_year"].append(
+        int(get("year")) if get("year") is not None else None
+    )
+    feats = get("features")
+    cols["raw_features"].append(
+        [str(x) for x in feats] if feats is not None else None
+    )
+
+
+def raw_cols_to_series(cols: dict[str, list]) -> dict[str, pd.Series]:
+    """Typed pandas Series for the 21 raw parse columns (nullable ints as
+    pandas Int32 so missing values survive Arrow)."""
+    dtypes = {
+        "parse_ok": "bool", "raw_price": "float64", "raw_ppm2": "float64",
+        "raw_area": "float64", "raw_lat": "float64", "raw_lon": "float64",
+        "raw_rooms": "Int32", "raw_floor": "Int32", "raw_floors": "Int32",
+        "raw_year": "Int32",
+    }
+    return {
+        k: pd.Series(v, dtype=dtypes.get(k, "object"))
+        for k, v in cols.items()
+    }
+
+
 def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Offer pages → raw field struct with the reference's merge-priority
     cascade (LD+JSON fills first, then __NEXT_DATA__, then CSS)."""
     for pdf in batches:
-        n = len(pdf)
-        cols: dict[str, list] = {
-            k: []
-            for k in (
-                "parse_ok", "raw_price", "raw_currency", "raw_ppm2", "raw_area",
-                "raw_rooms", "raw_city", "raw_lat", "raw_lon", "photo_urls",
-                "raw_title", "raw_district", "raw_street", "raw_floor",
-                "raw_floors", "raw_market", "raw_ptype", "raw_posted",
-                "raw_updated", "raw_year", "raw_features",
-            )
-        }
+        cols: dict[str, list] = {k: [] for k in RAW_COL_NAMES}
         for html in pdf["html"]:
-            out: dict = {}
-            if html is not None:
-                _from_ldjson(html, out)
-                _from_nextdata(html, out)
-                _from_css(html, out)
-            get = out.get
-            ok = bool(out)
-            cols["parse_ok"].append(ok)
-            cols["raw_price"].append(
-                float(get("price")) if get("price") is not None else None
-            )
-            cols["raw_currency"].append(get("currency"))
-            cols["raw_ppm2"].append(
-                float(get("ppm2")) if get("ppm2") is not None else None
-            )
-            cols["raw_area"].append(
-                float(get("area")) if get("area") is not None else None
-            )
-            cols["raw_rooms"].append(
-                int(get("rooms")) if get("rooms") is not None else None
-            )
-            cols["raw_city"].append(get("city"))
-            cols["raw_lat"].append(
-                float(get("lat")) if get("lat") is not None else None
-            )
-            cols["raw_lon"].append(
-                float(get("lon")) if get("lon") is not None else None
-            )
-            cols["photo_urls"].append(
-                [{"url": u, "w": w} for u, w in (get("photos") or [])]
-            )
-            cols["raw_title"].append(get("title"))
-            cols["raw_district"].append(get("district"))
-            cols["raw_street"].append(get("street"))
-            cols["raw_floor"].append(
-                int(get("floor")) if get("floor") is not None else None
-            )
-            cols["raw_floors"].append(
-                int(get("floors")) if get("floors") is not None else None
-            )
-            cols["raw_market"].append(get("market"))
-            cols["raw_ptype"].append(get("ptype"))
-            cols["raw_posted"].append(get("posted"))
-            cols["raw_updated"].append(get("updated"))
-            cols["raw_year"].append(
-                int(get("year")) if get("year") is not None else None
-            )
-            feats = get("features")
-            cols["raw_features"].append(
-                [str(x) for x in feats] if feats is not None else None
-            )
+            append_parsed_offer(cols, html)
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -361,26 +381,6 @@ def parse_offer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "page_idx": pdf["page_idx"],
                 "slot": pdf["slot"],
                 "sub_slot": pdf["sub_slot"],
-                "parse_ok": pd.Series(cols["parse_ok"], dtype="bool"),
-                "raw_price": pd.Series(cols["raw_price"], dtype="float64"),
-                "raw_currency": pd.Series(cols["raw_currency"], dtype="object"),
-                "raw_ppm2": pd.Series(cols["raw_ppm2"], dtype="float64"),
-                "raw_area": pd.Series(cols["raw_area"], dtype="float64"),
-                "raw_rooms": pd.Series(cols["raw_rooms"], dtype="Int32"),
-                "raw_city": pd.Series(cols["raw_city"], dtype="object"),
-                "raw_lat": pd.Series(cols["raw_lat"], dtype="float64"),
-                "raw_lon": pd.Series(cols["raw_lon"], dtype="float64"),
-                "photo_urls": pd.Series(cols["photo_urls"], dtype="object"),
-                "raw_title": pd.Series(cols["raw_title"], dtype="object"),
-                "raw_district": pd.Series(cols["raw_district"], dtype="object"),
-                "raw_street": pd.Series(cols["raw_street"], dtype="object"),
-                "raw_floor": pd.Series(cols["raw_floor"], dtype="Int32"),
-                "raw_floors": pd.Series(cols["raw_floors"], dtype="Int32"),
-                "raw_market": pd.Series(cols["raw_market"], dtype="object"),
-                "raw_ptype": pd.Series(cols["raw_ptype"], dtype="object"),
-                "raw_posted": pd.Series(cols["raw_posted"], dtype="object"),
-                "raw_updated": pd.Series(cols["raw_updated"], dtype="object"),
-                "raw_year": pd.Series(cols["raw_year"], dtype="Int32"),
-                "raw_features": pd.Series(cols["raw_features"], dtype="object"),
+                **raw_cols_to_series(cols),
             }
         )

@@ -30,15 +30,21 @@ WORKER = REPO / "scripts" / "depth_worker.py"
 MARKER = "## Round-loop amortization at depth"
 
 N_LO, N_HI = 4, 16
-# (cards, depth): pages/round grows ~64× across the sweep; the fattest cell
-# drops to depth 8 to keep the synth graph build (driver python, untimed)
-# inside a few minutes
-SWEEP = [(32, 16), (128, 16), (512, 16), (2048, 8)]
+# (cards, depth): pages/round grows ~128× across the sweep; the fat cells
+# drop to depth 8 to keep the synth graph build (driver python, untimed)
+# inside a few minutes. The 4096 cell exists because the in-loop frontier
+# path (window dedup + bloom + bucketed anti-join over ~100k small rows) is
+# stage-latency-bound below ~30k pages/round and only starts parallelizing
+# above it — the asymptote needs a cell in that regime.
+SWEEP = [(32, 16), (512, 16), (2048, 8), (4096, 8)]
 LOOKAHEAD = 8
 WEIGHT_KB = 48
 
 
-def run_cell(cpus: int, cards: int, depth: int) -> dict:
+N_TRIALS = 2  # min-of-N: single shots swing ±40% on this box (turbo/thermal)
+
+
+def run_cell_once(cpus: int, cards: int, depth: int) -> dict:
     # Heap scales with cores (2 GiB/core): on a real cluster each executor
     # brings its OWN heap, so per-core memory is constant as the cluster
     # grows; local[`N`] packs all N cores into one JVM, and a fixed heap
@@ -61,8 +67,17 @@ def run_cell(cpus: int, cards: int, depth: int) -> dict:
 def main() -> None:
     rows = []
     for cards, depth in SWEEP:
-        lo = run_cell(N_LO, cards, depth)
-        hi = run_cell(N_HI, cards, depth)
+        # alternate lo/hi per trial, keep each level's FASTEST run: the
+        # same cell swings ±40% between consecutive runs on this box
+        # (measured r4: r3-pinned code 51.7 s then 71.3 s back-to-back),
+        # and min-of-N is the unloaded-capability estimate the efficiency
+        # ratio is about
+        los, his = [], []
+        for _ in range(N_TRIALS):
+            los.append(run_cell_once(N_LO, cards, depth))
+            his.append(run_cell_once(N_HI, cards, depth))
+        lo = min(los, key=lambda d: d["crawl_sec"])
+        hi = min(his, key=lambda d: d["crawl_sec"])
         eff = hi["pages_per_sec"] / (4 * lo["pages_per_sec"])
         rows.append((cards, lo, hi, eff))
         print(json.dumps({"cards": cards, "lo": lo, "hi": hi,
@@ -98,7 +113,9 @@ def main() -> None:
         "(throughput grows ~20× across the sweep at both levels) and the "
         "loop's scaling converges to its in-loop data-plane limit, fitted "
         "below — measured, not argued "
-        "(`scripts/depth_bench.py`, fresh JVM per cell, heap = "
+        f"(`scripts/depth_bench.py`, fresh JVM per run, min of {N_TRIALS} "
+        "alternating trials per cell — single shots swing ±40% on this "
+        "box, heap = "
         "2 GiB/core per level — the per-executor-heap-constant shape of a "
         "real cluster; a fixed heap makes the 4N level GC-bound at the "
         "fattest cells, a single-JVM sandbox artifact):",
@@ -126,17 +143,15 @@ def main() -> None:
         "a round carries cluster-scale load;",
         f"- in-loop data-plane throughput: T ≈ {t_lo:,.0f} pages/s at "
         f"local[{N_LO}] vs {t_hi:,.0f} at local[{N_HI}] → asymptotic loop "
-        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**. This sits "
-        "BELOW the standalone data-plane row above because the loop does "
-        "per-page work the standalone composition doesn't: materializing "
-        "the fetched-html cache (written+read back each round), the "
+        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**. Since r4 every "
+        "write width DERIVES from the level (append fan-in = "
+        "defaultParallelism, salt keys = 4×, seen buckets = pow2 ≥ 2× — "
+        "the executor-count-scaled table properties of a real cluster), so "
+        "what remains below the standalone data-plane line is the loop's "
+        "own per-page work: materializing the fetched-html cache, the "
         "frontier insert path (link explosion → canonicalize → window "
-        "dedup → Bloom/seen maintenance), and delta/bucketed writes whose "
-        "fan-in (4 append partitions, 8 seen buckets) is a fixed job/table "
-        "property at both levels — on a real cluster those widths scale "
-        "with the table (bucket count, target file size), on this box they "
-        "cap the write stages identically at N and 4N. At 10^6-page "
-        f"rounds (the 100 TB shape) the a·rounds term is "
+        "dedup → Bloom/seen maintenance), and the delta read-backs. At "
+        f"10^6-page rounds (the 100 TB shape) the a·rounds term is "
         f"<{100 * a_hi / (a_hi + 1e6 / t_hi):.0f}% of wall.",
         "",
         "```json",
