@@ -415,14 +415,14 @@ class CrawlEngine:
             .withColumn("round", F.lit(self.round_idx))
             .withColumn("retry_at", F.lit(None).cast("double"))
         )
-        n = self.t_frontier.append(
+        n, path = self.t_frontier.append_with_path(
             self._coalesced(reset.select(*FRONTIER_COLS)),
             round_idx=self.round_idx,
             stage="retry_reset",
         )
         if n == 0:
             return 0
-        requeued = self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
+        requeued = self.spark.read.parquet(path)
         self._track_new_agg(self._new_rows_agg(requeued))
         self._pending = (
             requeued
@@ -454,14 +454,14 @@ class CrawlEngine:
             .withColumn("round", F.lit(self.round_idx))
             .withColumn("retry_at", F.lit(None).cast("double"))
         )
-        n = self.t_frontier.append(
+        n, path = self.t_frontier.append_with_path(
             self._coalesced(reset.select(*FRONTIER_COLS)),
             round_idx=self.round_idx,
             stage="refresh_reset",
         )
         if n == 0:
             return 0
-        requeued = self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
+        requeued = self.spark.read.parquet(path)
         self._track_new_agg(self._new_rows_agg(requeued))
         self._pending = (
             requeued
@@ -652,40 +652,48 @@ class CrawlEngine:
             )
             links = links.unionByName(look)
         with self._phase("links_plan"):
+            # Single-shuffle insert path: classify exprs → ONE exchange on
+            # url_canon aligned to the seen store's bucket count → hash-agg
+            # dedup (SO5, no sort) → Bloom split → bucketed anti-join with
+            # no further exchange on EITHER side (candidate partitioning ==
+            # bucket spec) → direct write at the join's partitioning. The
+            # r4 path paid three candidate shuffles per round (window sort,
+            # anti-join re-shuffle, append repartition) — the measured
+            # stage-latency floor of the frontier-maintenance path.
             candidates = frontier_mod.classify_and_key_links(
-                links, self.n_salts
+                links, self.n_salts,
+                dedup_partitions=self.seen_store.n_buckets,
+                bloom=self.bloom,
             )
             fresh = frontier_mod.anti_join_seen(
                 candidates, self._seen(), self.bloom
             )
 
-        # ---- ACTION 2: insert delta (O(new rows)); read back disk-backed
+        # ---- ACTION 2: insert delta (O(new rows)) + update delta (status
+        # transitions for this round's batch). The two appends touch
+        # DISJOINT keys — a URL discovered this round is never fetched this
+        # round (its fetch happens a later round), and every fetched URL is
+        # already seen so the anti-join excludes it from inserts — so they
+        # run as CONCURRENT jobs; the manifest commit is lock-serialized in
+        # ParquetTable and each append reads back its OWN snapshot path.
         new_rows = frontier_mod.finish_new_rows(fresh, self.round_idx)
-        with self._phase("insert_append"):
-            ins_n = self.t_frontier.append(
-                self._coalesced(new_rows.select(*FRONTIER_COLS)),
-                round_idx=self.round_idx,
-                stage="insert",
-            )
-        new_df = (
-            self.spark.read.parquet(self.t_frontier.snapshot_paths()[-1])
-            if ins_n
-            else None
-        )
-        # ---- the four post-insert jobs are INDEPENDENT (seen table, Bloom
-        # bitmaps, driver counters, frontier update delta — the update
-        # append is ordered after the insert append simply by running now)
-        # and all read small disk-backed inputs: run them as concurrent
-        # jobs from a scratch thread pool, same overlap rationale as the
-        # staging thread. ~3-5 s/round of serialized small-job latency at
-        # depth-bench load becomes max() of the four.
         with self._phase("updates_plan"):
             updates = self._status_updates(pages)
 
-        def _upd() -> int:
+        def _ins() -> tuple[int, str]:
+            with self._phase("insert_append"):
+                return self.t_frontier.append_with_path(
+                    new_rows.select(*FRONTIER_COLS),
+                    round_idx=self.round_idx,
+                    stage="insert",
+                )
+
+        def _upd() -> tuple[int, str]:
+            # written straight off the fetched cache's partitions — a
+            # narrow zero-shuffle job (run-end compaction bounds files)
             with self._phase("update_append"):
-                return self.t_frontier.append(
-                    self._coalesced(updates.select(*FRONTIER_COLS)),
+                return self.t_frontier.append_with_path(
+                    updates.select(*FRONTIER_COLS),
                     round_idx=self.round_idx,
                     stage="update",
                 )
@@ -709,10 +717,20 @@ class CrawlEngine:
             with self._phase("new_rows_agg"):
                 return self._new_rows_agg(new_df)
 
+        # ---- all five round-output jobs overlap: insert ∥ update first,
+        # then (seen table ∥ Bloom bitmaps ∥ driver counters) over the
+        # insert delta while the update may still be writing. ~3-5 s/round
+        # of serialized small-job latency at depth-bench load becomes the
+        # max() of the chains.
         new_n = 0
         new_offer_counts: dict[str, int] = defaultdict(int)
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            ins_fut = pool.submit(_ins)
             upd_fut = pool.submit(_upd)
+            ins_n, ins_path = ins_fut.result()
+            new_df = (
+                self.spark.read.parquet(ins_path) if ins_n else None
+            )
             if new_df is not None:
                 seen_fut = pool.submit(_seen)
                 bloom_fut = pool.submit(_bloom)
@@ -725,7 +743,7 @@ class CrawlEngine:
                     new_n += r["n"]
                     if r["kind"] != "listing":  # offers + investments
                         new_offer_counts[r["source"]] += r["n"]
-            upd_n = upd_fut.result()
+            upd_n, upd_path = upd_fut.result()
 
         # ---- join the overlapped staging job (see submit above)
         with self._phase("staged_join"):
@@ -742,9 +760,9 @@ class CrawlEngine:
         # it would add a dead parquet scan to the working-set plan per round
         requeue_n = sum(r["n"] for r in summary if self._is_requeue(r))
         if upd_n and requeue_n:
-            requeues = self.spark.read.parquet(
-                self.t_frontier.snapshot_paths()[-1]
-            ).filter(F.col("status") == STATUS_PENDING)
+            requeues = self.spark.read.parquet(upd_path).filter(
+                F.col("status") == STATUS_PENDING
+            )
             nxt = nxt.unionByName(requeues.select(*FRONTIER_COLS))
         if new_df is not None:
             nxt = nxt.unionByName(new_df.select(*FRONTIER_COLS))

@@ -340,13 +340,19 @@ def make_fetch_parse_stage(
                 if "robots_allowed" in pdf.columns
                 else [True] * len(pdf)
             )
+            # Page rows and link rows buffer SEPARATELY: a link row only
+            # needs the seven fields the frontier path reads (parent url /
+            # source / kind / page_idx / slot + dom_idx + href) — the other
+            # meta strings (url_canon, domain, domain_salt, …) and all 21
+            # raw parse columns are dead weight that at high card counts
+            # dominated both the per-link Python appends and the Arrow
+            # transfer back to the JVM. They're bulk-filled with nulls once
+            # per batch instead of per link.
             meta: dict[str, list] = {c: [] for c in _META_COLS}
-            rk, st, at_ms, dom_idx, href = [], [], [], [], []
+            st, at_ms = [], []
             raw: dict[str, list] = {k: [] for k in parse_mod.RAW_COL_NAMES}
-
-            def emit_meta(row):
-                for c in _META_COLS:
-                    meta[c].append(row[c])
+            l_url, l_source, l_kind = [], [], []
+            l_page, l_slot, l_dom, l_href = [], [], [], []
 
             rows = pdf.to_dict("records")
             for row, allowed in zip(rows, gate):
@@ -355,12 +361,10 @@ def make_fetch_parse_stage(
                     row["kind"], row["attempts"], allowed,
                 )
                 # the page row (always)
-                emit_meta(row)
-                rk.append("page")
+                for c in _META_COLS:
+                    meta[c].append(row[c])
                 st.append(status)
                 at_ms.append(at)
-                dom_idx.append(None)
-                href.append(None)
                 if status == FETCH_OK and row["kind"] == "offer":
                     parse_mod.append_parsed_offer(raw, html)
                 else:
@@ -375,23 +379,55 @@ def make_fetch_parse_stage(
                     for i, link in enumerate(
                         parse_mod._HREF_RE.findall(html)
                     ):
-                        emit_meta(row)
-                        rk.append("link")
-                        st.append(status)
-                        at_ms.append(at)
-                        dom_idx.append(i)
-                        href.append(link)
-                        parse_mod.append_parsed_offer(raw, None)
+                        l_url.append(row["url"])
+                        l_source.append(row["source"])
+                        l_kind.append(row["kind"])
+                        l_page.append(row["page_idx"])
+                        l_slot.append(row["slot"])
+                        l_dom.append(i)
+                        l_href.append(link)
+
+            n_p, n_l = len(st), len(l_href)
+            none_l = [None] * n_l
+            raw["parse_ok"].extend([False] * n_l)
+            for k in parse_mod.RAW_COL_NAMES:
+                if k != "parse_ok":
+                    raw[k].extend(none_l)
             out = {
-                "row_kind": pd.Series(rk, dtype="object"),
-                **{
-                    c: pd.Series(meta[c])
-                    for c in _META_COLS
-                },
-                "fetch_status": pd.Series(st, dtype="object"),
-                "fetched_at_ms": pd.Series(at_ms, dtype="float64"),
-                "dom_idx": pd.Series(dom_idx, dtype="Int32"),
-                "href": pd.Series(href, dtype="object"),
+                "row_kind": pd.Series(
+                    ["page"] * n_p + ["link"] * n_l, dtype="object"
+                ),
+                "url": pd.Series(meta["url"] + l_url, dtype="object"),
+                "url_canon": pd.Series(
+                    meta["url_canon"] + none_l, dtype="object"
+                ),
+                # nullable Int64: a float64 fallback would corrupt 64-bit
+                # hashes
+                "url_hash64": pd.Series(
+                    meta["url_hash64"] + none_l, dtype="Int64"
+                ),
+                "source": pd.Series(meta["source"] + l_source, dtype="object"),
+                "domain": pd.Series(meta["domain"] + none_l, dtype="object"),
+                "domain_salt": pd.Series(
+                    meta["domain_salt"] + none_l, dtype="object"
+                ),
+                "kind": pd.Series(meta["kind"] + l_kind, dtype="object"),
+                "page_idx": pd.Series(meta["page_idx"] + l_page),
+                "slot": pd.Series(meta["slot"] + l_slot),
+                "sub_slot": pd.Series(
+                    meta["sub_slot"] + none_l, dtype="Int32"
+                ),
+                "attempts": pd.Series(
+                    meta["attempts"] + none_l, dtype="Int32"
+                ),
+                "fetch_status": pd.Series(
+                    st + none_l, dtype="object"
+                ),
+                "fetched_at_ms": pd.Series(
+                    at_ms + [float("nan")] * n_l, dtype="float64"
+                ),
+                "dom_idx": pd.Series(([None] * n_p) + l_dom, dtype="Int32"),
+                "href": pd.Series(([None] * n_p) + l_href, dtype="object"),
                 **parse_mod.raw_cols_to_series(raw),
             }
             yield pd.DataFrame(out)

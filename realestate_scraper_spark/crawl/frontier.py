@@ -3,15 +3,16 @@
 The frontier is the engine's ``urls.csv`` (scrapper/adapters/otodom.py:622)
 re-imagined as a partitioned table with explicit crawl-order and priority
 keys. All link classification, canonicalization and in-batch dedup here is
-pure Spark expressions; the only shuffles are the in-batch dedup window and
-the anti-join against the seen set.
+pure Spark expressions; the whole insert path (dedup + anti-join against the
+seen set) runs on a SINGLE candidate-side shuffle (see
+classify_and_key_links).
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realestate_scraper_spark.functions.urlnorm import with_url_keys
@@ -83,7 +84,7 @@ def absolutize_href_expr(href, parent_url):
 _CLASSIFY_COLS: dict | None = None
 
 
-def _classify_col_maps() -> tuple[dict, dict, Column]:
+def _classify_col_maps() -> tuple[dict, dict]:
     """Memoized projection maps for classify_and_key_links (built once per
     process — these Column trees are identical every crawl round)."""
     global _CLASSIFY_COLS
@@ -112,14 +113,23 @@ def _classify_col_maps() -> tuple[dict, dict, Column]:
             F.lit(0)
         ),
     }
-    # Order-preserving in-batch dedup (SO5): keep min (page_idx, slot).
-    w = Window.partitionBy("url_canon").orderBy("page_idx", "slot", "sub_slot")
-    rn = F.row_number().over(w)
-    _CLASSIFY_COLS = (href_map, class_map, rn)
+    _CLASSIFY_COLS = (href_map, class_map)
     return _CLASSIFY_COLS
 
 
-def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
+# SO5 order keys: the candidate kept for a url_canon is the one with the
+# smallest (page_idx, slot, sub_slot) — first DOM occurrence on the earliest
+# page, same order the window-based dedup used (the remaining fields break
+# exact-key ties deterministically, which row_number never guaranteed).
+_DEDUP_ORDER = ("page_idx", "slot", "sub_slot")
+
+
+def classify_and_key_links(
+    links: DataFrame,
+    n_salts: int,
+    dedup_partitions: int | None = None,
+    bloom=None,
+) -> DataFrame:
     """Raw extracted links → typed frontier candidates.
 
     - hrefs are absolutized against the parent URL first (F4 — real portals
@@ -129,9 +139,28 @@ def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
       refine; here every article link is one or the other by construction).
     - offers inherit the parent listing's page_idx (W3 crawl-order key);
       discovered listing pages get their own page number from the URL.
-    - in-batch dedup keeps the first DOM occurrence (SO5: order-preserving).
+    - in-batch dedup keeps the first DOM occurrence (SO5: order-preserving)
+      as a hash aggregate — ``min`` over the order-key struct — instead of a
+      window: no per-partition sort, partial (map-side) aggregation, and the
+      one exchange it needs can be ALIGNED with the seen store's buckets.
+
+    ``dedup_partitions`` (the engine passes the seen store's bucket count):
+    pre-partition on ``url_canon`` into exactly that many partitions, so the
+    dedup aggregate AND the downstream bucketed anti-join both run on this
+    single exchange — the r4 frontier-maintenance path paid three candidate
+    shuffles per round (window sort, anti-join re-shuffle, append
+    repartition); this collapses them to one.
+
+    ``bloom``: when given (and non-empty), the Bloom ``maybe_seen`` verdict
+    is attached HERE, before the exchange. The membership test is an Arrow
+    pandas UDF, and ``EvalPythonExec`` does not propagate its child's
+    output partitioning — a post-shuffle Bloom test (the r4 shape) silently
+    re-inserted an ENSURE_REQUIREMENTS exchange in front of the bucketed
+    anti-join. Pre-exchange the flag is a narrow map; it rides through the
+    dedup struct unchanged (it is a function of ``url_canon``, the grouping
+    key) and ``anti_join_seen`` splits on it with no data movement.
     """
-    href_map, class_map, rn = _classify_col_maps()
+    href_map, class_map = _classify_col_maps()
     candidates = (
         links.withColumns(href_map)
         .withColumns(class_map)
@@ -139,7 +168,20 @@ def classify_and_key_links(links: DataFrame, n_salts: int) -> DataFrame:
         .select("url", "source", "kind", "page_idx", "slot", "sub_slot")
     )
     keyed = with_url_keys(candidates, n_salts=n_salts)
-    return keyed.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    if bloom is not None and bloom.shards:
+        keyed = bloom.filter_maybe_seen(keyed)
+    if dedup_partitions:
+        keyed = keyed.repartition(dedup_partitions, F.col("url_canon"))
+    rest = [
+        c for c in keyed.columns
+        if c != "url_canon" and c not in _DEDUP_ORDER
+    ]
+    packed = F.struct(*_DEDUP_ORDER, *rest)
+    return (
+        keyed.groupBy("url_canon")
+        .agg(F.min(packed).alias("_first"))
+        .select("url_canon", "_first.*")
+    )
 
 
 def _finish_frontier_rows(df: DataFrame, round_idx: int, n_salts: int) -> DataFrame:
@@ -217,18 +259,23 @@ def anti_join_seen(
     collisions, and a collision in the anti-join silently drops a distinct
     URL. Hashes are for the Bloom prefilter only (FPs there are harmless —
     they just route rows to the exact check).
+
+    When ``candidates`` already carries ``maybe_seen`` (attached
+    pre-exchange by classify_and_key_links — see its docstring for why),
+    the split reuses it; otherwise the flag is computed here.
     """
-    if bloom is not None and bloom.shards:
-        flagged = bloom.filter_maybe_seen(candidates)
-        fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        checked = maybe.join(
-            seen.select("url_canon"), on="url_canon", how="left_anti"
-        )
-        return fresh.unionByName(checked)
-    return candidates.join(
+    if "maybe_seen" not in candidates.columns:
+        if bloom is None or not bloom.shards:
+            return candidates.join(
+                seen.select("url_canon"), on="url_canon", how="left_anti"
+            )
+        candidates = bloom.filter_maybe_seen(candidates)
+    fresh = candidates.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = candidates.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = maybe.join(
         seen.select("url_canon"), on="url_canon", how="left_anti"
     )
+    return fresh.unionByName(checked)
 
 
 def assert_frontier_schema(df: DataFrame) -> None:

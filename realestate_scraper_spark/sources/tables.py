@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 import pyarrow.parquet as pq
@@ -50,6 +51,12 @@ class ParquetTable:
         self.name = name
         os.makedirs(self.dir, exist_ok=True)
         self._manifest_path = os.path.join(self.dir, "manifest.json")
+        # Serializes the manifest read-modify-commit so key-disjoint appends
+        # (e.g. the engine's per-round insert + update deltas) can run as
+        # CONCURRENT Spark jobs; the parquet writes themselves go to unique
+        # snapshot dirs and never contend. Iceberg gives the same guarantee
+        # via optimistic snapshot commits.
+        self._commit_lock = threading.Lock()
 
     # ------------------------------------------------------------ manifest
     def _manifest(self) -> dict:
@@ -73,6 +80,21 @@ class ParquetTable:
         stage: str = "",
         partition_by: list[str] | None = None,
     ) -> int:
+        return self.append_with_path(
+            df, round_idx=round_idx, stage=stage, partition_by=partition_by
+        )[0]
+
+    def append_with_path(
+        self,
+        df: DataFrame,
+        *,
+        round_idx: int = -1,
+        stage: str = "",
+        partition_by: list[str] | None = None,
+    ) -> tuple[int, str]:
+        """Append a snapshot and return ``(rows, snapshot_path)`` — callers
+        that read the delta back must name THIS snapshot, not "the latest"
+        (another thread's append may have committed since)."""
         snap_id = f"snap-{len(self._manifest()['snapshots']):05d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.dir, snap_id)
         writer = df.write.mode("overwrite")
@@ -80,18 +102,19 @@ class ParquetTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         rows = _rows_from_footers(path)
-        m = self._manifest()
-        m["snapshots"].append(
-            {
-                "id": snap_id,
-                "path": path,
-                "rows": rows,
-                "round": round_idx,
-                "stage": stage,
-            }
-        )
-        self._commit(m)
-        return rows
+        with self._commit_lock:
+            m = self._manifest()
+            m["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "path": path,
+                    "rows": rows,
+                    "round": round_idx,
+                    "stage": stage,
+                }
+            )
+            self._commit(m)
+        return rows, path
 
     def overwrite(self, df: DataFrame, *, round_idx: int = -1, stage: str = "") -> int:
         """Replace table contents (used by checkpoint snapshots)."""
