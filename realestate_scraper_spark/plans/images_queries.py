@@ -46,27 +46,62 @@ def q50_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 9 disjoint bit-bands over the 64-bit pHash (top byte + eight 7-bit bands):
+# a pair at Hamming ≤ 8 differs in ≤ 8 bands, so by pigeonhole at least one
+# band is bit-equal — the banded scheme has GUARANTEED recall 1.0 for the
+# d ≤ 8 threshold (tests/test_images.py proves it against brute-force ground
+# truth). Band 0 is exactly the r4 top-byte bucket, whose standalone recall
+# is measured alongside (any true pair with a differing top-byte bit never
+# became a candidate under it).
+_PHASH_BANDS = [(56, 8)] + [(s, 7) for s in range(49, -1, -7)]
+
+
 def q51_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pHash near-dup: images bucketed by the top byte of phash, candidate
-    pairs verified by Hamming distance ≤ 8 via bit_count(xor) — all JVM-side
-    expressions after the decode stage."""
+    """pHash near-dup via banded LSH (the q32 shape on bits): each image
+    explodes into 9 (band, value) keys, candidates come from ONE equi-join
+    on the band key — never all-pairs — and are verified by exact Hamming
+    distance ≤ 8 via bit_count(xor), all JVM-side expressions after the
+    decode stage. ``topbyte_candidate`` marks pairs the r4 top-byte-only
+    bucketing would have found, so the board row carries the old scheme's
+    recall (sum(topbyte_candidate)/count) next to the guaranteed-complete
+    pair set."""
     imgs = _images_df(spark).select("image_id", "phash")
-    bucket = F.shiftrightunsigned(F.col("phash"), 56)
-    a = imgs.withColumn("bucket", bucket).alias("a")
-    b = imgs.withColumn("bucket", bucket).alias("b")
-    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    return (
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i, (shift, width) in enumerate(_PHASH_BANDS)
+        ]
+    )
+    sides = imgs.select("image_id", "phash", F.explode(bands).alias("bk"))
+    a, b = sides.alias("a"), sides.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.image_id") < F.col("b.image_id")),
         )
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 8)
         .select(
             F.col("a.image_id").alias("image_a"),
             F.col("b.image_id").alias("image_b"),
-            "hamming",
+            F.col("a.phash").alias("phash_a"),
+            F.col("b.phash").alias("phash_b"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    ham = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+    topbyte = F.shiftrightunsigned(F.col("phash_a"), 56) == F.shiftrightunsigned(
+        F.col("phash_b"), 56
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 8)
+        .select(
+            "image_a", "image_b", "hamming", topbyte.alias("topbyte_candidate")
         )
     )
 

@@ -1040,17 +1040,47 @@ _RG_CITY_SQL = ", ".join(f"('{n}', {la}, {lo})" for n, la, lo in _RG_CITIES)
              (c_custkey % 37 - 18) / 1000.0 AS dlon_j
       FROM customer),
     pts2 AS (
-      SELECT p.c_custkey,
+      SELECT p.c_custkey, p.true_city,
              d.dlat + p.dlat_j AS lat, d.dlon + p.dlon_j AS lon
-      FROM pts p JOIN dim d ON p.true_city = d.city)
-    SELECT p.c_custkey,
-           ARG_MIN(d.city,
-             2 * 6371008.8 * ASIN(SQRT(
-               POW(SIN(RADIANS(d.dlat - p.lat) / 2), 2) +
-               COS(RADIANS(p.lat)) * COS(RADIANS(d.dlat)) *
-               POW(SIN(RADIANS(d.dlon - p.lon) / 2), 2)))) AS rg_city
-    FROM pts2 p CROSS JOIN dim d
-    GROUP BY p.c_custkey
+      FROM pts p JOIN dim d ON p.true_city = d.city),
+    rg AS (
+      SELECT p.c_custkey,
+             ARG_MIN(d.city,
+               2 * 6371008.8 * ASIN(SQRT(
+                 POW(SIN(RADIANS(d.dlat - p.lat) / 2), 2) +
+                 COS(RADIANS(p.lat)) * COS(RADIANS(d.dlat)) *
+                 POW(SIN(RADIANS(d.dlon - p.lon) / 2), 2)))) AS rg_city
+      FROM pts2 p CROSS JOIN dim d
+      GROUP BY p.c_custkey),
+    page AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 6 THEN 'atlantis'
+                  ELSE true_city END AS snap_city,
+             CASE WHEN c_custkey % 7 = 3 THEN NULL
+                  WHEN c_custkey % 11 = 5 THEN lat - 40.0
+                  ELSE lat END AS plat,
+             CASE WHEN c_custkey % 7 = 3 THEN NULL
+                  ELSE lon END AS plon
+      FROM pts2),
+    snap AS (
+      SELECT g.c_custkey, g.plat, g.plon, d.dlat, d.dlon,
+             ((d.city IS NOT NULL
+               AND d.dlat BETWEEN 49.0 AND 54.9
+               AND d.dlon BETWEEN 14.0 AND 24.5)
+              AND (NOT (g.plat IS NOT NULL
+                        AND g.plat BETWEEN 49.0 AND 54.9
+                        AND g.plon BETWEEN 14.0 AND 24.5)
+                   OR 2 * 6371008.8 * ASIN(SQRT(
+                        POW(SIN(RADIANS(d.dlat - g.plat) / 2), 2) +
+                        COS(RADIANS(g.plat)) * COS(RADIANS(d.dlat)) *
+                        POW(SIN(RADIANS(d.dlon - g.plon) / 2), 2))) > 800.0))
+             AS do_snap
+      FROM page g LEFT JOIN dim d ON g.snap_city = d.city)
+    SELECT r.c_custkey, r.rg_city,
+           COALESCE(s.do_snap, FALSE) AS snapped,
+           ROUND(CASE WHEN s.do_snap THEN s.dlat ELSE s.plat END, 6) AS snap_lat,
+           ROUND(CASE WHEN s.do_snap THEN s.dlon ELSE s.plon END, 6) AS snap_lon
+    FROM rg r JOIN snap s ON r.c_custkey = s.c_custkey
     """,
 )
 def q47_reverse_geocode(spark, sf_dir):
@@ -1058,8 +1088,18 @@ def q47_reverse_geocode(spark, sf_dir):
     city per coordinate via the broadcast coarse-cell kernel join
     (operators/spatial.reverse_geocode). Points are jittered ≤ ~2 km off
     their true city so the bounded-radius kernel answer equals the oracle's
-    exact global arg_min."""
-    from realestate_scraper_spark.operators.spatial import reverse_geocode
+    exact global arg_min.
+
+    Also carries the J8 800 m snap-override (operators/spatial.geocode_snap;
+    morizon.py:472-487) as oracle-checked columns: each point gets an
+    adversarial "page geo" — missing (%7==3), out-of-PL-bbox (%11==5), or a
+    dim-miss key (%13==6) — and the remaining jittered points split on the
+    800 m great-circle rule, so every branch of the snap condition (dim
+    plausible? page plausible? too far?) is exercised on the board."""
+    from realestate_scraper_spark.operators.spatial import (
+        geocode_snap,
+        reverse_geocode,
+    )
 
     dim = spark.createDataFrame(_RG_CITIES, "city string, lat double, lon double")
     c = t(spark, sf_dir, "customer")
@@ -1072,13 +1112,43 @@ def q47_reverse_geocode(spark, sf_dir):
         .join(F.broadcast(dim), F.col("true_city") == F.col("city"))
         .select(
             "c_custkey",
+            "true_city",
             (F.col("lat") + (F.col("c_custkey") % 41 - 20) / 1000.0).alias("plat"),
             (F.col("lon") + (F.col("c_custkey") % 37 - 18) / 1000.0).alias("plon"),
         )
         .withColumnRenamed("plat", "lat")
         .withColumnRenamed("plon", "lon")
     )
-    return reverse_geocode(pts, dim).select("c_custkey", "rg_city")
+    rg = reverse_geocode(pts, dim).select("c_custkey", "rg_city")
+
+    k = F.col("c_custkey")
+    page = pts.select(
+        "c_custkey",
+        F.when(k % 13 == 6, F.lit("atlantis"))
+        .otherwise(F.col("true_city"))
+        .alias("city"),
+        F.when(k % 7 == 3, F.lit(None).cast("double"))
+        .when(k % 11 == 5, F.col("lat") - 40.0)
+        .otherwise(F.col("lat"))
+        .alias("lat"),
+        F.when(k % 7 == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("lon"))
+        .alias("lon"),
+    ).withColumns({"page_lat": F.col("lat"), "page_lon": F.col("lon")})
+    snap_dim = dim.select(
+        "city", F.col("lat").alias("dim_lat"), F.col("lon").alias("dim_lon")
+    )
+    snapped = geocode_snap(page, snap_dim, keys=("city",))
+    snap_cols = snapped.select(
+        "c_custkey",
+        (
+            ~F.col("lat").eqNullSafe(F.col("page_lat"))
+            | ~F.col("lon").eqNullSafe(F.col("page_lon"))
+        ).alias("snapped"),
+        F.round("lat", 6).alias("snap_lat"),
+        F.round("lon", 6).alias("snap_lon"),
+    )
+    return rg.join(snap_cols, "c_custkey")
 
 
 # --------------------------------------------------------------------- q46

@@ -177,3 +177,43 @@ def test_thumbnail_spark_stage(spark):
     b = out["b"]
     assert b["decode_ok"] and (b["thumb_w"], b["thumb_h"]) == (12, 24)
     assert not out["bad"]["decode_ok"] and out["bad"]["thumb_w"] == 0
+
+
+def test_phash_banded_near_dup_recall(spark):
+    """q51's banded scheme vs brute-force ground truth (the q53 pattern for
+    images): 9 disjoint bit-bands guarantee recall 1.0 at Hamming ≤ 8 by
+    pigeonhole, and the r4 top-byte-only bucketing's recall is measured —
+    it is a strict subset whenever a true pair differs in a top-byte bit."""
+    import itertools
+
+    from realestate_scraper_spark.plans.images_queries import (
+        _images_df,
+        q51_phash_near_dup,
+    )
+
+    rows = _images_df(spark).select("image_id", "phash").collect()
+    assert len(rows) > 50
+    gt = set()
+    topbyte_gt = set()
+    for (ia, pa), (ib, pb) in itertools.combinations(
+        sorted((r["image_id"], r["phash"]) for r in rows), 2
+    ):
+        if hamming64(pa, pb) <= 8:
+            gt.add((ia, ib))
+            if (pa >> 56) & 0xFF == (pb >> 56) & 0xFF:
+                topbyte_gt.add((ia, ib))
+    assert gt, "corpus must contain near-dup pairs for the bound to bite"
+
+    out = q51_phash_near_dup(spark, "").collect()
+    got = {(r["image_a"], r["image_b"]) for r in out}
+    # guaranteed-complete: the banded candidate set finds EVERY true pair
+    assert got == gt
+    # the topbyte flag on each pair agrees with the python twin
+    flagged = {
+        (r["image_a"], r["image_b"]) for r in out if r["topbyte_candidate"]
+    }
+    assert flagged == topbyte_gt
+    recall_topbyte = len(topbyte_gt) / len(gt)
+    recall_banded = len(got & gt) / len(gt)
+    assert recall_banded == 1.0
+    assert recall_banded >= recall_topbyte
