@@ -398,40 +398,78 @@ def make_offers(
 
 
 # ------------------------------------------------------------------ images
+def image_blob(seed: int, ordinal: int, k: int) -> tuple[bytes, int, int, str]:
+    """Deterministic encoded image for photo ``k`` of offer ``ordinal`` —
+    (bytes, w, h, fmt). Pure function of the key, so the corpus can be
+    synthesized EXECUTOR-SIDE (mapInPandas over tiny spec rows) as well as
+    driver-side; both paths are bit-identical."""
+    rng = np.random.default_rng((seed, ordinal, k))
+    w, h = IMG_SIZES[int(rng.integers(len(IMG_SIZES)))]
+    fmt = FMTS[(ordinal + k) % len(FMTS)]
+    # gradient + seeded noise — stable, structured content
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+    rgb = np.stack(
+        [
+            (base + rng.integers(0, 32, (h, w))) % 256,
+            (base // 2 + rng.integers(0, 32, (h, w))) % 256,
+            (255 - base + rng.integers(0, 32, (h, w))) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_image(rgb, fmt), int(w), int(h), fmt
+
+
 def make_image_rows(offers: list[SynthOffer], seed: int = 42) -> list[dict]:
     """The authoritative `images` table (BASELINE.json input_hint shape)."""
     rows = []
     for o in offers:
         for k, img_id in enumerate(o.photo_image_ids):
-            rng = np.random.default_rng((seed, o.ordinal, k))
-            w, h = IMG_SIZES[int(rng.integers(len(IMG_SIZES)))]
-            fmt = FMTS[(o.ordinal + k) % len(FMTS)]
-            # gradient + seeded noise — stable, structured content
-            yy, xx = np.mgrid[0:h, 0:w]
-            base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
-            rgb = np.stack(
-                [
-                    (base + rng.integers(0, 32, (h, w))) % 256,
-                    (base // 2 + rng.integers(0, 32, (h, w))) % 256,
-                    (255 - base + rng.integers(0, 32, (h, w))) % 256,
-                ],
-                axis=-1,
-            ).astype(np.uint8)
-            data = encode_image(rgb, fmt)
+            data, w, h, fmt = image_blob(seed, o.ordinal, k)
             # phash of the *stored* bytes (post-codec pixels), so the decode
             # UDF's recompute is bit-equal to this oracle value.
             rows.append(
                 {
                     "image_id": img_id,
                     "bytes": bytearray(data),
-                    "w": int(w),
-                    "h": int(h),
+                    "w": w,
+                    "h": h,
                     "fmt": fmt,
                     "caption": o.caption(),
                     "phash": phash64(decode_image(data, fmt)),
                 }
             )
     return rows
+
+
+SYNTH_IMAGE_FIELDS = "image_id string, bytes binary"
+
+
+def synth_image_batches(batches):
+    """Executor-side corpus synthesis: spec rows (image_id, seed, ordinal, k)
+    → (image_id, bytes) inside the Arrow batch. The driver ships only the
+    KB-scale spec table into tasks, never the blobs — kills the
+    'task of very large size' staging WARN at any corpus size."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"image_id": [], "bytes": []}
+        for image_id, seed, ordinal, k in zip(
+            pdf["image_id"], pdf["seed"], pdf["ordinal"], pdf["k"]
+        ):
+            data, _w, _h, _fmt = image_blob(int(seed), int(ordinal), int(k))
+            out["image_id"].append(image_id)
+            out["bytes"].append(data)
+        yield pd.DataFrame(out)
+
+
+def image_spec_rows(offers: list[SynthOffer], seed: int = 42) -> list[tuple]:
+    """(image_id, seed, ordinal, k) spec rows for synth_image_batches."""
+    return [
+        (img_id, seed, o.ordinal, k)
+        for o in offers
+        for k, img_id in enumerate(o.photo_image_ids)
+    ]
 
 
 # -------------------------------------------------------------------- HTML

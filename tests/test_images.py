@@ -217,3 +217,29 @@ def test_phash_banded_near_dup_recall(spark):
     recall_banded = len(got & gt) / len(gt)
     assert recall_banded == 1.0
     assert recall_banded >= recall_topbyte
+
+
+def test_executor_side_synth_bit_identical(spark):
+    """image_blob is a pure function of (seed, ordinal, k): the executor-side
+    mapInPandas synthesis (bench staging) produces byte-identical blobs to
+    the driver-side corpus generator."""
+    from realestate_scraper_spark.sources.synth import (
+        SYNTH_IMAGE_FIELDS,
+        image_spec_rows,
+        make_image_rows,
+        make_offers,
+        synth_image_batches,
+    )
+
+    offers = make_offers(seed=42, n_pages=1, cards_per_page=4)
+    want = {r["image_id"]: bytes(r["bytes"]) for r in make_image_rows(offers)}
+    specs = spark.createDataFrame(
+        image_spec_rows(offers), "image_id string, seed long, ordinal long, k long"
+    )
+    got = {
+        r["image_id"]: bytes(r["bytes"])
+        for r in specs.repartition(4)
+        .mapInPandas(synth_image_batches, schema=SYNTH_IMAGE_FIELDS)
+        .collect()
+    }
+    assert got == want and len(got) > 5
