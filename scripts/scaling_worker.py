@@ -98,11 +98,14 @@ def main() -> None:
     fr.count()
 
     def _dataplane_once() -> float:
+        # the FUSED fetch+parse stage — the exact composition the committed
+        # engine runs per round (html never crosses a stage boundary)
         t0 = time.monotonic()
-        fetched = fetch_mod.fetch(fr, store, 64)
-        parsed = fetched.select(
-            "url", "url_canon", "source", "page_idx", "slot", "sub_slot", "html"
-        ).mapInPandas(parse_mod.parse_offer_batches, schema=parse_mod.OFFER_FIELDS)
+        fetched = fetch_mod.fetch_parse(fr, store, 64)
+        parsed = fetched.filter(F.col("row_kind") == "page").select(
+            "url", "url_canon", "source", "page_idx", "slot", "sub_slot",
+            *parse_mod.RAW_COL_NAMES,
+        )
         refine_mod.refined(parsed).filter("is_valid").count()
         return time.monotonic() - t0
 
