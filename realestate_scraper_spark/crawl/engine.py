@@ -111,6 +111,7 @@ class CrawlEngine:
         seen_buckets: int | None = None,
         seen_compact_every: int = 8,
         geocode_dim: "DataFrame | None" = None,
+        prefilter: str = "bloom",
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -194,7 +195,17 @@ class CrawlEngine:
         self.page_store_bc = spark.sparkContext.broadcast(
             fetch_mod.build_page_store(graph_rows)
         )
-        self.bloom = ShardedBloom(fpp=bloom_fpp)
+        # URL-seen prefilter: "bloom" (default) or "cuckoo" — the deletable
+        # variant (crawl/cuckoo.ShardedCuckoo, duck-type identical) that the
+        # evict_seen() re-crawl-after-TTL path needs. A resumed run must pass
+        # the same choice (the snapshot formats differ).
+        if prefilter == "cuckoo":
+            from realestate_scraper_spark.crawl.cuckoo import ShardedCuckoo
+
+            self._pf_cls = ShardedCuckoo
+        else:
+            self._pf_cls = ShardedBloom
+        self.bloom = self._pf_cls(fpp=bloom_fpp)
         # cached PENDING working set (full frontier-schema rows); None until
         # seed()/resume(). Rebuilt per round from O(batch) unions; lineage
         # cut (localCheckpoint) every few rounds.
@@ -249,9 +260,9 @@ class CrawlEngine:
         snap = self.spark.read.parquet(self.t_frontier.snapshot_paths()[0])
         self.seen_store.reset()
         self.seen_store.append(snap)
-        self.bloom = ShardedBloom(fpp=self.bloom_fpp)
+        self.bloom = self._pf_cls(fpp=self.bloom_fpp)
         self.bloom.merge(
-            ShardedBloom.build(
+            self._pf_cls.build(
                 snap, expected_per_shard=self.bloom.expected_per_shard,
                 fpp=self.bloom_fpp,
             )
@@ -340,9 +351,9 @@ class CrawlEngine:
                     r["page_idx"]
                 )
         if os.path.exists(eng.bloom_path):
-            eng.bloom = ShardedBloom.load(eng.bloom_path, fpp=eng.bloom_fpp)
+            eng.bloom = eng._pf_cls.load(eng.bloom_path, fpp=eng.bloom_fpp)
         elif fr is not None:
-            eng.bloom = ShardedBloom.build(fr, fpp=eng.bloom_fpp)
+            eng.bloom = eng._pf_cls.build(fr, fpp=eng.bloom_fpp)
         return eng
 
     # ---------------------------------------------------------- round loop
@@ -435,6 +446,59 @@ class CrawlEngine:
         }
         self._no_new_streak.clear()
         self._had_fetch_fail.clear()
+        return n
+
+    def evict_seen(self, ttl_rounds: int) -> int:
+        """Re-crawl-after-TTL (frontier eviction): forget DONE offer URLs
+        whose last status round is older than ``ttl_rounds``, so the next
+        listing sweep that links them re-admits them through the anti-join
+        as fresh PENDING rows. (The reference achieves re-crawls only by
+        starting a whole run over a fresh DedupeSet, cli.py:128-139; here
+        the eviction is surgical and the rest of the seen set keeps
+        protecting the crawl — the 10^10-frontier need named in SURVEY §7.4.)
+
+        Deletes from the durable bucketed store (bucket-parallel broadcast
+        anti-join rewrite, crash-atomic) and from the in-memory prefilter:
+        a cuckoo prefilter (``prefilter="cuckoo"``) deletes fingerprints in
+        place — the reason it exists (north_rule "cuckoo-filter fallback
+        for deletable entries"); a Bloom prefilter cannot delete and is
+        REBUILT from the post-delete store — O(seen set), the cost the
+        cuckoo variant avoids. Returns the evicted row count."""
+        fr = self.frontier()
+        if fr is None:
+            return 0
+        evict = (
+            fr.filter(
+                (F.col("kind") == "offer")
+                & (F.col("status") == STATUS_DONE)
+                & (F.col("round") <= F.lit(self.round_idx - ttl_rounds))
+            )
+            .select("url_canon", "url_hash64", "domain_salt")
+            .localCheckpoint()
+        )
+        n = self.seen_store.delete(evict)
+        if n == 0:
+            return 0
+        if hasattr(self.bloom, "delete_df"):
+            self.bloom.delete_df(evict)
+        else:
+            from realestate_scraper_spark.functions.urlnorm import (
+                domain_salt as domain_salt_expr,
+            )
+
+            keyed = self.seen_store.df().select(
+                "url_canon",
+                F.xxhash64(F.col("url_canon")).alias("url_hash64"),
+                domain_salt_expr(F.col("url_canon"), self.n_salts).alias(
+                    "domain_salt"
+                ),
+            )
+            self.bloom = self._pf_cls.build(
+                keyed,
+                expected_per_shard=self.bloom.expected_per_shard,
+                fpp=self.bloom_fpp,
+            )
+        self.bloom.save(self.bloom_path)
         return n
 
     def refresh_offers(self) -> int:
@@ -707,7 +771,7 @@ class CrawlEngine:
             # Bloom delta: built distributed per shard, OR-merged driver-
             # side (~KB bitmaps) — no row collect (north_rule lifecycle)
             with self._phase("bloom_build"):
-                return ShardedBloom.build(
+                return self._pf_cls.build(
                     new_df,
                     expected_per_shard=self.bloom.expected_per_shard,
                     fpp=self.bloom_fpp,

@@ -190,6 +190,33 @@ class BucketedSeenStore:
         if not self.registered():
             return
         live_count = self.spark.table(self.table).count()
+        self._atomic_rewrite(self.spark.table(self.table), live_count)
+
+    def delete(self, minus: DataFrame) -> int:
+        """Remove ``url_canon`` rows — the frontier-eviction half of
+        re-crawl-after-TTL (``CrawlEngine.evict_seen``): a bucket-parallel
+        rewrite of the store minus the evicted keys, with the same
+        crash-atomic sibling-dir swap as :meth:`compact`. The evicted side
+        is TTL-window-sized, so it broadcasts into the anti-join and the
+        store side never shuffles. Returns the number of rows removed."""
+        if not self.registered():
+            return 0
+        minus = minus.select("url_canon")
+        live = self.spark.table(self.table)
+        del_count = live.join(
+            F.broadcast(minus), "url_canon", "left_semi"
+        ).count()
+        if del_count == 0:
+            return 0
+        live_count = live.count()
+        kept = live.join(F.broadcast(minus), "url_canon", "left_anti")
+        self._atomic_rewrite(kept, live_count - del_count)
+        return del_count
+
+    def _atomic_rewrite(self, source: DataFrame, expected_count: int) -> None:
+        """Rewrite the store from ``source`` into one file per bucket
+        (task-parallel on the explicit bucket id) and swap atomically after
+        validating the row count — shared by compact() and delete()."""
         tmp = self.dir + ".compact.tmp"
         tmp_table = self.table + "_compact_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -197,8 +224,7 @@ class BucketedSeenStore:
             self.spark.sql(f"DROP TABLE {tmp_table}")
         bucket_id = F.pmod(F.hash(F.col("url_canon")), F.lit(self.n_buckets))
         (
-            self.spark.table(self.table)
-            .repartition(self.n_buckets, bucket_id)
+            source.repartition(self.n_buckets, bucket_id)
             .write.mode("overwrite")
             .format("parquet")
             .bucketBy(self.n_buckets, "url_canon")
@@ -208,11 +234,11 @@ class BucketedSeenStore:
         )
         compacted_count = self.spark.table(tmp_table).count()
         self.spark.sql(f"DROP TABLE {tmp_table}")
-        if compacted_count != live_count:
+        if compacted_count != expected_count:
             # refuse the swap — the live store stays authoritative
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
-                f"seen-store compaction row mismatch: live={live_count} "
+                f"seen-store rewrite row mismatch: expected={expected_count} "
                 f"compacted={compacted_count}; keeping the live store"
             )
         # swap: drop catalog entry (data untouched), rename dirs, re-register
