@@ -394,3 +394,37 @@ def test_alt_listing_url_fallback(spark, tmp_path):
         for o in offers
     )
     assert stop_reasons.get("morizon") != "no_new"
+
+
+def test_q52_board_corpus_resume_equivalence(spark, tmp_path):
+    """The q52 board row's flagship property the rows-only check can't see:
+    on the EXACT board corpus and engine widths (plans/images_queries.q52 —
+    1 listing page × 6 cards per portal, n_salts=2, append=1, 2 seen
+    buckets), killing the crawl after round 1 and resuming yields offers
+    VALUE-IDENTICAL to the uninterrupted run (ST4 + idempotent staging)."""
+    _, _, graph = build_corpus(seed=42, n_pages=1, cards_per_page=6)
+    widths = dict(
+        n_salts=2, append_coalesce=1, seen_buckets=2, seen_compact_every=64
+    )
+
+    full = CrawlEngine(
+        spark, str(tmp_path / "q52_full"), graph, **widths
+    )
+    full.seed(seed_urls())
+    full.run(max_rounds=4)
+
+    run_dir = str(tmp_path / "q52_killed")
+    eng1 = CrawlEngine(spark, run_dir, graph, **widths)
+    eng1.seed(seed_urls())
+    eng1.run(max_rounds=1)  # killed mid-crawl after the first round
+    eng2 = CrawlEngine.resume(spark, run_dir, graph, **widths)
+    eng2.run(max_rounds=4)
+
+    def rows(eng):
+        return sorted(
+            tuple(sorted(r.asDict().items())) for r in eng.offers().collect()
+        )
+
+    a, b = rows(full), rows(eng2)
+    assert len(a) > 0
+    assert a == b
