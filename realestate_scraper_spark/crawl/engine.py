@@ -716,14 +716,18 @@ class CrawlEngine:
             )
             links = links.unionByName(look)
         with self._phase("links_plan"):
-            # Single-shuffle insert path: classify exprs → ONE exchange on
-            # url_canon aligned to the seen store's bucket count → hash-agg
-            # dedup (SO5, no sort) → Bloom split → bucketed anti-join with
-            # no further exchange on EITHER side (candidate partitioning ==
-            # bucket spec) → direct write at the join's partitioning. The
-            # r4 path paid three candidate shuffles per round (window sort,
-            # anti-join re-shuffle, append repartition) — the measured
-            # stage-latency floor of the frontier-maintenance path.
+            # Single-shuffle, SINGLE-BRANCH insert path: classify exprs →
+            # ONE exchange on url_canon aligned to the seen store's bucket
+            # count → dedup agg (SO5) → one conditional LeftAnti against
+            # the bucketed seen scan (prefilter verdict as a join-condition
+            # conjunct; shuffle-hash, so the seen side is neither sorted
+            # nor broadcast) → direct write at the join's partitioning.
+            # History: the r4 path paid three candidate shuffles per round
+            # (window sort, anti-join re-shuffle, append repartition); its
+            # replacement's fresh/maybe split + union then made Catalyst
+            # run the whole candidate pipeline TWICE per round — the r5
+            # depth probe measured that duplication as the largest
+            # core-invariant slice of the loop. Both are gone.
             candidates = frontier_mod.classify_and_key_links(
                 links, self.n_salts,
                 dedup_partitions=self.seen_store.n_buckets,

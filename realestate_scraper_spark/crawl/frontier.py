@@ -140,9 +140,12 @@ def classify_and_key_links(
     - offers inherit the parent listing's page_idx (W3 crawl-order key);
       discovered listing pages get their own page number from the URL.
     - in-batch dedup keeps the first DOM occurrence (SO5: order-preserving)
-      as a hash aggregate — ``min`` over the order-key struct — instead of a
-      window: no per-partition sort, partial (map-side) aggregation, and the
-      one exchange it needs can be ALIGNED with the seen store's buckets.
+      as ``min`` over the order-key struct instead of a window. A struct
+      buffer is not hash-aggregable, so the physical agg is a SortAggregate
+      — ONE per-partition sort of the round's candidate batch, O(batch),
+      never O(frontier) (the window it replaced additionally funneled each
+      partition through a single-threaded row_number pass) — and the one
+      exchange it needs is ALIGNED with the seen store's buckets.
 
     ``dedup_partitions`` (the engine passes the seen store's bucket count):
     pre-partition on ``url_canon`` into exactly that many partitions, so the
@@ -250,32 +253,62 @@ def anti_join_seen(
 ) -> DataFrame:
     """O1/J4: drop already-seen URLs; Bloom prefilter + exact anti-join.
 
-    The Bloom admits definitely-new rows without shuffling them against the
-    frontier; only maybe-seen rows pay the anti-join. False positives are
-    harmless (they just take the exact path); false negatives are impossible.
+    The prefilter verdict (``maybe_seen``) gates the exact check as an extra
+    conjunct INSIDE one LeftAnti join condition::
 
-    The exact joins key on ``url_canon`` (the full canonical string), NOT on
-    xxhash64: at 10^10 URLs the 64-bit birthday bound yields ~3 expected
+        candidates LEFT ANTI JOIN seen
+            ON cand.url_canon = seen.url_canon AND cand.maybe_seen
+
+    A definitely-new row (``maybe_seen`` false — impossible for a Bloom to
+    get wrong; deliberate for an evicted cuckoo fingerprint) can never
+    satisfy the condition, so it is admitted without the exact check; a
+    maybe-seen row is admitted iff its URL is absent from the store. These
+    are exactly the semantics of the former fresh/maybe split — but as ONE
+    plan branch. The split (two filters + unionByName over the same
+    aggregate) made Catalyst DUPLICATE the whole upstream candidate
+    pipeline: the classify regexes, the Arrow prefilter UDF and the dedup
+    aggregate each ran twice per round (measured in the r5 depth probe —
+    the duplicated subtree was the largest core-count-invariant slice of
+    the round loop).
+
+    Join strategy: ``shuffle_hash`` hint on the seen side. Both sides
+    already satisfy the join's distribution (candidates were exchanged onto
+    the store's bucket count by classify_and_key_links; the bucketed scan
+    reports its own partitioning), so the hint only picks the ALGORITHM:
+    a per-bucket hash set of the seen bucket, candidates streamed through
+    it — no sort of either side, and never a driver-side broadcast of the
+    GROWING seen store (which is what Catalyst's size estimate picks at
+    small scale, re-collecting the whole store every round). Per-task build
+    memory is one bucket = seen/n_buckets rows, and n_buckets derives from
+    cluster parallelism (engine.py), so the build stays bounded at 10^10
+    URLs — the sharded in-memory DedupeSet of the reference
+    (scrapper/core/dedup.py:17-27), one shard per bucket task.
+
+    The exact join keys on ``url_canon`` (the full canonical string), NOT
+    on xxhash64: at 10^10 URLs the 64-bit birthday bound yields ~3 expected
     collisions, and a collision in the anti-join silently drops a distinct
-    URL. Hashes are for the Bloom prefilter only (FPs there are harmless —
-    they just route rows to the exact check).
+    URL. Hashes are for the Bloom prefilter only.
 
     When ``candidates`` already carries ``maybe_seen`` (attached
     pre-exchange by classify_and_key_links — see its docstring for why),
-    the split reuses it; otherwise the flag is computed here.
+    the condition reuses it; otherwise the flag is computed here (or, with
+    no prefilter at all, the condition degenerates to the plain equi-anti).
     """
+    seen_side = seen.select("url_canon").hint("shuffle_hash")
     if "maybe_seen" not in candidates.columns:
         if bloom is None or not bloom.shards:
             return candidates.join(
-                seen.select("url_canon"), on="url_canon", how="left_anti"
+                seen_side, on="url_canon", how="left_anti"
             )
         candidates = bloom.filter_maybe_seen(candidates)
-    fresh = candidates.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = candidates.filter(F.col("maybe_seen")).drop("maybe_seen")
-    checked = maybe.join(
-        seen.select("url_canon"), on="url_canon", how="left_anti"
+    cand = candidates.alias("cand")
+    cond = (
+        F.col("cand.url_canon") == F.col("seen.url_canon")
+    ) & F.col("cand.maybe_seen")
+    return (
+        cand.join(seen_side.alias("seen"), cond, "left_anti")
+        .drop("maybe_seen")
     )
-    return fresh.unionByName(checked)
 
 
 def assert_frontier_schema(df: DataFrame) -> None:

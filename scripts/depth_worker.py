@@ -85,6 +85,12 @@ def main() -> None:
                 "rounds": stats["rounds"],
                 "offers_parsed": stats["offers_parsed"],
                 "pages_per_sec": round(stats["pages_fetched"] / crawl_sec, 2),
+                # driver-observed per-phase wall across the run — turns the
+                # "where do the non-dataplane seconds go" question into a
+                # measurement instead of a fit residual
+                "phases": {
+                    k: round(v, 2) for k, v in sorted(eng.phase_times.items())
+                },
             }
         )
     )
