@@ -110,8 +110,18 @@ def _make_fetch_core(
     (html | None, fetch_status, fetched_at_ms)``."""
     from realestate_scraper_spark.functions.urlnorm import canonicalize_url_py
 
-    store = page_store_bc.value
-    rules = robots_rules_bc.value if robots_rules_bc is not None else None
+    # The broadcast HANDLES are captured; ``.value`` is dereferenced lazily
+    # on first row, executor-side. Dereferencing on the driver (the old
+    # shape) captured the materialized page store in the closure, so every
+    # round's mapInPandas cloudpickled the whole corpus into the task
+    # binary — measured as ~2 s/round of core-count-invariant driver time
+    # at the fat depth-bench cells (fetch_plan phase), plus a per-worker
+    # re-unpickle on the executor side. With the handle, the task binary is
+    # KBs and workers read the store from the broadcast block manager once.
+    # holder dict, not nonlocal cells: cloudpickle does not keep closure
+    # cells shared across separately-captured functions, a dict survives
+    _state: dict = {}
+
     # representative page weight (synth.make_site_graph page_weight_kb):
     # expanded here, executor-side, so the broadcast store stays small
     _fillers: dict[int, str] = {}
@@ -152,6 +162,13 @@ def _make_fetch_core(
         return at
 
     def fetch_row(url_canon, domain, salt, kind, attempts, allowed_by_rules):
+        if not _state:
+            _state["store"] = page_store_bc.value
+            _state["rules"] = (
+                robots_rules_bc.value if robots_rules_bc is not None else None
+            )
+        store = _state["store"]
+        rules = _state["rules"]
         if not allowed_by_rules:
             return None, FETCH_ROBOTS, -1.0
         if rules is not None:
