@@ -143,15 +143,16 @@ def main() -> None:
         "a round carries cluster-scale load;",
         f"- in-loop data-plane throughput: T ≈ {t_lo:,.0f} pages/s at "
         f"local[{N_LO}] vs {t_hi:,.0f} at local[{N_HI}] → asymptotic loop "
-        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**. Since r4 every "
-        "write width DERIVES from the level (append fan-in = "
-        "defaultParallelism, salt keys = 4×, seen buckets = pow2 ≥ 2× — "
-        "the executor-count-scaled table properties of a real cluster), so "
-        "what remains below the standalone data-plane line is the loop's "
-        "own per-page work: materializing the fetched-html cache, the "
-        "frontier insert path (link explosion → canonicalize → window "
-        "dedup → Bloom/seen maintenance), and the delta read-backs. At "
-        f"10^6-page rounds (the 100 TB shape) the a·rounds term is "
+        f"efficiency (pages/round → ∞) ≈ **{eff_inf:.2f}**. Every write "
+        "width DERIVES from the level (append fan-in = defaultParallelism, "
+        "salt keys = 4×, seen buckets = pow2 ≥ 2× — the executor-count-"
+        "scaled table properties of a real cluster, r4), and the loop's "
+        "per-page work is the fused fetch+parse pass plus the single-"
+        "exchange, single-branch frontier insert (classify exprs → one "
+        "aligned exchange → dedup agg → conditional shuffle-hash LeftAnti "
+        "against the bucketed seen scan, r5) — per-round phase walls are "
+        "in the per-cell JSON below. At 10^6-page rounds (the 100 TB "
+        f"shape) the a·rounds term is "
         f"<{100 * a_hi / (a_hi + 1e6 / t_hi):.0f}% of wall.",
         "",
         "```json",
