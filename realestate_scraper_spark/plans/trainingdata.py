@@ -117,18 +117,30 @@ _SHINGLES_SQL = """
 def minhash_signatures(spark, sf_dir, n_seeds: int = N_SEEDS) -> DataFrame:
     """(doc_id, sig0..sig{n-1}): per-seed lexicographic min over
     md5(seed|shingle). ``n_seeds`` is the production width knob (the oracle
-    queries pin it at the toy N_SEEDS=4; a real pipeline runs 64-128) — the
-    plan shape is identical at any width: one narrow explode, map-side
-    partial min per seed, one groupBy(doc_id) shuffle."""
+    queries pin it at the toy N_SEEDS=4; a real pipeline runs 64-128).
+
+    A signature is a PER-DOCUMENT function, so it is computed as a pure
+    row-local expression — ``array_min(transform(shingles, md5(seed|x)))``
+    — with ZERO shuffle at any width. The first cut exploded shingles and
+    took per-seed ``min`` in a groupBy(doc_id): same values, but it paid a
+    docs×shingles exchange AND a SortAggregate (string min buffers are not
+    hash-aggregable) for an aggregation that never needed to leave the
+    row. At 100 TB the expression form streams: scan → project, done."""
     docs = _augmented_docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
+    shingles = _shingles_expr(F.col("text")).alias("_sh")
+
+    # factory, not a defaulted lambda: F.transform dispatches on callable
+    # arity, so a (x, s=s) lambda would be bound as (element, index)
+    def _sig(s: int):
+        return F.array_min(
+            F.transform(
+                F.col("_sh"), lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
+            )
+        ).alias(f"sig{s}")
+
+    return docs.select("doc_id", shingles).select(
+        "doc_id", *[_sig(s) for s in range(n_seeds)]
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"sig{s}")
-        for s in range(n_seeds)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_pairs(
@@ -212,11 +224,12 @@ def q30_dedup_exact(spark, sf_dir):
 # --------------------------------------------------------------------- q31
 @_reg("q31_minhash_signatures", _MINHASH_SQL)
 def q31_minhash_signatures(spark, sf_dir):
-    """MinHash signatures: shingle → explode → per-seed min of md5.
+    """MinHash signatures: per-seed min of md5 over the shingle array,
+    computed row-locally (array_min ∘ transform — no explode, no shuffle).
 
     Lexicographic min over md5 hex is a valid uniform minhash and is
-    byte-identical across engines. Shuffle: one groupBy(doc_id) — at scale
-    the explode stays narrow and partial-min combines map-side."""
+    byte-identical across engines (the DuckDB oracle computes the same min
+    via unnest+GROUP BY — different method, same values)."""
     return minhash_signatures(spark, sf_dir)
 
 

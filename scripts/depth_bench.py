@@ -33,9 +33,10 @@ N_LO, N_HI = 4, 16
 # (cards, depth): pages/round grows ~128× across the sweep; the fat cells
 # drop to depth 8 to keep the synth graph build (driver python, untimed)
 # inside a few minutes. The 4096 cell exists because the in-loop frontier
-# path (window dedup + bloom + bucketed anti-join over ~100k small rows) is
-# stage-latency-bound below ~30k pages/round and only starts parallelizing
-# above it — the asymptote needs a cell in that regime.
+# insert (classify → one aligned exchange → dedup agg → conditional
+# shuffle-hash anti-join, over ~100k small rows) is stage-latency-bound
+# below ~30k pages/round and only starts parallelizing above it — the
+# asymptote needs a cell in that regime.
 SWEEP = [(32, 16), (512, 16), (2048, 8), (4096, 8)]
 LOOKAHEAD = 8
 WEIGHT_KB = 48
