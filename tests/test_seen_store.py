@@ -146,3 +146,38 @@ def test_compaction_is_bucket_parallel(crawl):
     # are expected — but never a single writer
     task_ids = {re.match(r"(part-\d+)-", f).group(1) for f in files}
     assert len(task_ids) > 1, files
+
+
+def test_insert_path_is_single_branch(crawl, spark):
+    """The r5 insert shape, pinned: ONE conditional LeftAnti carries the
+    prefilter verdict (no fresh/maybe union — the split made Catalyst run
+    the whole candidate pipeline twice per round), the join is shuffle-hash
+    (the growing seen store must be neither sorted nor broadcast through
+    the driver), and the prefilter UDF appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from realestate_scraper_spark.crawl import frontier as frontier_mod
+
+    eng, _, _ = crawl
+    fr = eng.frontier()
+    links = fr.limit(30).select(
+        "source",
+        "page_idx",
+        F.col("url").alias("parent_url"),
+        F.col("slot").alias("parent_slot"),
+        F.col("kind").alias("parent_kind"),
+        F.lit(0).alias("dom_idx"),
+        F.col("url").alias("href"),
+    )
+    candidates = frontier_mod.classify_and_key_links(
+        links,
+        eng.n_salts,
+        dedup_partitions=eng.seen_store.n_buckets,
+        bloom=eng.bloom,
+    )
+    out = frontier_mod.anti_join_seen(candidates, eng._seen(), eng.bloom)
+    plan = _physical_plan(out)
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Union" not in plan, plan
