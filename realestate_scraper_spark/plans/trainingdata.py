@@ -725,7 +725,12 @@ def q40_ann_lsh_buckets(spark, sf_dir):
 def q41_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: exact copies injected at vec_id+100000,
     candidate pairs generated by a bucket equi-join (vec_id mod 25 — the
-    stand-in for an LSH bucket), verified by cosine > threshold."""
+    stand-in for an LSH bucket), verified by cosine > threshold.
+
+    The vector norm is hoisted BEFORE the join (one interpreted-lambda
+    aggregate per vector); computing it per pair re-ran two 64-element
+    folds for every candidate a vector appears in. Same float arithmetic,
+    same order, identical values — the oracle still computes per-pair."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -734,6 +739,9 @@ def q41_embedding_near_dup(spark, sf_dir):
         e.filter(F.col("vec_id") % 25 == 0).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "v"
         )
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
     a = aug.alias("a")
     b = aug.alias("b")
@@ -741,12 +749,6 @@ def q41_embedding_near_dup(spark, sf_dir):
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return (
         a.join(
@@ -757,7 +759,7 @@ def q41_embedding_near_dup(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            (dot / (na * nb)).alias("sim"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("sim"),
         )
         .filter(F.col("sim") > 0.9999)
         .select("vec_a", "vec_b")
