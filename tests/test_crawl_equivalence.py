@@ -428,3 +428,30 @@ def test_q52_board_corpus_resume_equivalence(spark, tmp_path):
     a, b = rows(full), rows(eng2)
     assert len(a) > 0
     assert a == b
+
+
+def test_fused_stage_closure_stays_small(spark):
+    """The fused fetch+parse closure must capture the page-store BROADCAST
+    HANDLE, never its materialized value: a driver-side ``.value`` deref
+    made every round's mapInPandas cloudpickle the whole corpus into the
+    task binary (~2 s/round of core-invariant driver time at the fat depth
+    cells). Pickle the stage against a deliberately bloated store and pin
+    the closure size at handle scale."""
+    import cloudpickle
+
+    from realestate_scraper_spark.crawl.fetch import make_fetch_parse_stage
+
+    big_store = {
+        f"https://big.example/offer-{i}": ("x" * 10_000, True, 0, False, False, 0)
+        for i in range(2_000)  # ~20 MB materialized
+    }
+    bc = spark.sparkContext.broadcast(big_store)
+    try:
+        stage = make_fetch_parse_stage(bc, n_salts=4)
+        blob = cloudpickle.dumps(stage)
+        assert len(blob) < 512_000, (
+            f"fused stage closure pickled to {len(blob)} bytes — the page "
+            "store is being captured by value again"
+        )
+    finally:
+        bc.unpersist()
