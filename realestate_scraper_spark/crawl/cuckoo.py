@@ -8,17 +8,28 @@ links it re-admits it as a fresh PENDING row. A Bloom filter cannot delete;
 a cuckoo filter can — ``CrawlEngine(..., prefilter="cuckoo")`` swaps
 :class:`ShardedCuckoo` in for ``ShardedBloom`` with the same interface.
 
-Standard (2,4)-cuckoo filter with 16-bit fingerprints over numpy:
-fingerprint f = 16 low bits of the key (never 0); bucket i1 = h mod nb,
-i2 = i1 XOR (fp * 0x5bd1e995) mod nb. Vectorized lookup; insert/delete are
-driver/partition-local loops (insertion volume per round is bounded by the
-round's new-URL count, not the frontier size).
+(2,4)-cuckoo filter with 16-bit **reference-counted** fingerprints over
+numpy: fingerprint f = 16 low bits of the key (never 0); bucket
+i1 = h mod nb, i2 = i1 XOR (fp * 0x5bd1e995) mod nb.
 
-Deletion semantics under fingerprint collisions: delete removes ONE matching
-(bucket, fp) entry. If a colliding URL shared it, that URL may read as
-definitely-new afterwards — harmless, because the EXACT anti-join backstop
-(crawl/frontier.anti_join_seen) still holds it in the durable store; a
-prefilter false negative costs one anti-join probe, never a duplicate fetch.
+Why refcounts: the per-round anti-join (crawl/frontier.anti_join_seen)
+admits ``maybe_seen = false`` rows WITHOUT an exact store check — sound only
+if the prefilter can never read false-negative for an inserted key. Two
+distinct URLs can collide on the same (bucket-pair, fingerprint); a plain
+cuckoo delete of one would erase the shared entry and turn the other URL
+into a false negative → duplicate fetch. Here each (bucket, fp) slot
+carries a count: colliding inserts increment it, deletes decrement it, and
+the entry disappears only at zero — multiset semantics, so an inserted key
+stays present until *it* is deleted. The second protection layer lives in
+``CrawlEngine.evict_seen``: only keys the durable store ACTUALLY deleted
+are forwarded to ``delete_df``, so a double-eviction can never decrement a
+count that was not incremented.
+
+Capacity is a hard invariant, not best-effort: every insert path (build /
+merge / add_local) RAISES on an unplaceable fingerprint instead of silently
+dropping it (a dropped fingerprint is a future false negative). Size shards
+via ``expected_per_shard`` (exposed as ``CrawlEngine(
+prefilter_expected_per_shard=...)``) above the per-shard key volume.
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ import pandas as pd
 _FP_SEED = np.uint64(0x5BD1E995)
 SLOTS = 4
 MAX_KICKS = 500
+_COUNT_MAX = np.uint16(0xFFFF)
 
 
 class CuckooFilter:
@@ -41,6 +53,9 @@ class CuckooFilter:
             nb <<= 1
         self.nb = nb
         self.table = np.zeros((nb, SLOTS), dtype=np.uint16)
+        # per-slot reference count (0 iff the slot is empty); colliding
+        # (bucket-pair, fp) inserts merge into one slot + count
+        self.counts = np.zeros((nb, SLOTS), dtype=np.uint16)
         self._rng = np.random.default_rng(0xC0FFEE)
 
     # ----------------------------------------------------------- internals
@@ -65,31 +80,51 @@ class CuckooFilter:
             (np.uint64(i) ^ (np.uint64(fp) * _FP_SEED)) % np.uint64(self.nb)
         )
 
+    def _bump(self, i: int, slot: int, count: int) -> None:
+        # saturating add — a saturated count never decrements back to zero
+        # (sticky-seen is the safe failure direction; 65535 colliding live
+        # keys on one (bucket, fp) is unreachable in practice)
+        c = int(self.counts[i, slot]) + count
+        self.counts[i, slot] = min(c, int(_COUNT_MAX))
+
     # ------------------------------------------------------------------ api
-    def insert_fp(self, i1: int, fp: int) -> bool:
+    def insert_fp(self, i1: int, fp: int, count: int = 1) -> bool:
         """Insert a fingerprint given EITHER of its buckets (the cuckoo
         partial-key property: the alternate is i ^ h(fp)) — lets shard
-        tables of equal size merge without the original keys."""
+        tables of equal size merge without the original keys. An existing
+        (bucket-pair, fp) entry absorbs the insert as a count increment."""
         i2 = self._alt(i1, fp)
         for i in (i1, i2):
             row = self.table[i]
-            empty = np.where(row == 0)[0]
+            same = np.where((row == fp) & (self.counts[i] > 0))[0]
+            if len(same):
+                self._bump(i, int(same[0]), count)
+                return True
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(self.counts[i] == 0)[0]
             if len(empty):
                 row[empty[0]] = fp
+                self.counts[i, empty[0]] = min(count, int(_COUNT_MAX))
                 return True
-        # cuckoo kicks
+        # cuckoo kicks — displaced (fp, count) pairs move together
         i = i1 if self._rng.integers(2) else i2
-        cur = fp
+        cur_fp, cur_cnt = fp, min(count, int(_COUNT_MAX))
         for _ in range(MAX_KICKS):
             slot = int(self._rng.integers(SLOTS))
-            cur, self.table[i, slot] = int(self.table[i, slot]), cur
-            i = self._alt(i, cur)
-            row = self.table[i]
-            empty = np.where(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = cur
+            cur_fp, self.table[i, slot] = int(self.table[i, slot]), cur_fp
+            cur_cnt, self.counts[i, slot] = int(self.counts[i, slot]), cur_cnt
+            i = self._alt(i, cur_fp)
+            same = np.where((self.table[i] == cur_fp) & (self.counts[i] > 0))[0]
+            if len(same):
+                self._bump(i, int(same[0]), cur_cnt)
                 return True
-        return False  # table full — caller should grow/rebuild
+            empty = np.where(self.counts[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = cur_fp
+                self.counts[i, empty[0]] = cur_cnt
+                return True
+        return False  # table full — caller must raise/rebuild, never drop
 
     def insert(self, h64: int) -> bool:
         arr = np.array([h64], dtype=np.int64)
@@ -97,7 +132,7 @@ class CuckooFilter:
 
     def add_hashes(self, h64: np.ndarray) -> int:
         """Bulk insert; returns the number that could NOT be placed (0 when
-        the table was sized for the load)."""
+        the table was sized for the load — callers treat >0 as fatal)."""
         arr = np.asarray(h64, dtype=np.int64)
         if len(arr) == 0:
             return 0
@@ -113,22 +148,42 @@ class CuckooFilter:
         return sum(1 for h in arr if self.delete(int(h)))
 
     def merge(self, other: "CuckooFilter") -> None:
-        """Union by re-homing every stored fingerprint (same table size
-        required — the partial-key property only preserves bucket pairs
-        across equal nb)."""
+        """Union by re-homing every stored (fingerprint, count) pair (same
+        table size required — the partial-key property only preserves bucket
+        pairs across equal nb). Raises on overflow: a silently dropped
+        fingerprint would be a future false negative → duplicate fetch."""
         assert self.nb == other.nb, "cuckoo merge requires equal table size"
-        for i, slot in zip(*np.nonzero(other.table)):
-            self.insert_fp(int(i), int(other.table[i, slot]))
+        for i, slot in zip(*np.nonzero(other.counts)):
+            ok = self.insert_fp(
+                int(i), int(other.table[i, slot]), int(other.counts[i, slot])
+            )
+            if not ok:
+                raise RuntimeError(
+                    "cuckoo shard overflow during merge: raise "
+                    "expected_per_shard above the per-shard key volume"
+                )
+
+    def copy(self) -> "CuckooFilter":
+        c = CuckooFilter(1)
+        c.nb = self.nb
+        c.table = self.table.copy()
+        c.counts = self.counts.copy()
+        return c
 
     def delete(self, h64: int) -> bool:
+        """Decrement the key's (bucket, fp) count; the entry is freed only
+        at zero, so colliding keys that were inserted stay present."""
         arr = np.array([h64], dtype=np.int64)
         fp = int(self._fp(arr)[0])
         i1 = int(self._i1(arr)[0])
         i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
         for i in (i1, i2):
-            hits = np.where(self.table[i] == fp)[0]
+            hits = np.where((self.table[i] == fp) & (self.counts[i] > 0))[0]
             if len(hits):
-                self.table[i, hits[0]] = 0
+                s = int(hits[0])
+                self.counts[i, s] -= 1
+                if self.counts[i, s] == 0:
+                    self.table[i, s] = 0
                 return True
         return False
 
@@ -139,9 +194,20 @@ class CuckooFilter:
         fp = self._fp(arr)
         i1 = self._i1(arr)
         i2 = self._i2(i1, fp)
-        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
-        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        in1 = ((self.table[i1] == fp[:, None]) & (self.counts[i1] > 0)).any(axis=1)
+        in2 = ((self.table[i2] == fp[:, None]) & (self.counts[i2] > 0)).any(axis=1)
         return in1 | in2
+
+
+def _from_blobs(nb: int, table: bytes, counts: bytes, writable: bool = True) -> CuckooFilter:
+    f = CuckooFilter(1)
+    f.nb = int(nb)
+    f.table = np.frombuffer(table, dtype=np.uint16).reshape(int(nb), SLOTS)
+    f.counts = np.frombuffer(counts, dtype=np.uint16).reshape(int(nb), SLOTS)
+    if writable:
+        f.table = f.table.copy()
+        f.counts = f.counts.copy()
+    return f
 
 
 class ShardedCuckoo:
@@ -188,6 +254,7 @@ class ShardedCuckoo:
                 {
                     "shard": [pdf[shard_col].iloc[0]],
                     "table": [f.table.tobytes()],
+                    "counts": [f.counts.tobytes()],
                     "nb": [f.nb],
                     "fails": [fails],
                 }
@@ -196,7 +263,10 @@ class ShardedCuckoo:
         rows = (
             df.select(shard_col, key_col)
             .groupBy(shard_col)
-            .applyInPandas(_build, schema="shard string, table binary, nb long, fails long")
+            .applyInPandas(
+                _build,
+                schema="shard string, table binary, counts binary, nb long, fails long",
+            )
             .collect()
         )
         overflow = sum(r["fails"] for r in rows)
@@ -205,16 +275,10 @@ class ShardedCuckoo:
                 f"cuckoo shard overflow ({overflow} keys unplaced): raise "
                 "expected_per_shard above the per-shard key volume"
             )
-        shards = {}
-        for r in rows:
-            f = CuckooFilter(cap)
-            f.table = (
-                np.frombuffer(bytes(r["table"]), dtype=np.uint16)
-                .reshape(int(r["nb"]), SLOTS)
-                .copy()
-            )
-            f.nb = int(r["nb"])
-            shards[r["shard"]] = f
+        shards = {
+            r["shard"]: _from_blobs(r["nb"], bytes(r["table"]), bytes(r["counts"]))
+            for r in rows
+        }
         return cls(shards, expected_per_shard, fpp)
 
     def merge(self, other: "ShardedCuckoo") -> None:
@@ -222,11 +286,19 @@ class ShardedCuckoo:
             if key in self.shards:
                 self.shards[key].merge(f)
             else:
-                self.shards[key] = f
+                # copy — adopting a live reference would alias later in-place
+                # add/delete mutations back into the source filter
+                self.shards[key] = f.copy()
 
     def add_local(self, shard_key: str, hashes) -> None:
         f = self.shards.setdefault(shard_key, CuckooFilter(self.expected_per_shard))
-        f.add_hashes(np.fromiter(hashes, dtype=np.int64))
+        fails = f.add_hashes(np.fromiter(hashes, dtype=np.int64))
+        if fails:
+            raise RuntimeError(
+                f"cuckoo shard overflow ({fails} keys unplaced in "
+                f"{shard_key!r}): raise expected_per_shard above the "
+                "per-shard key volume"
+            )
 
     # ----------------------------------------------------------------- test
     def filter_maybe_seen(
@@ -242,7 +314,10 @@ class ShardedCuckoo:
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        payload = {k: (f.nb, f.table.tobytes()) for k, f in self.shards.items()}
+        payload = {
+            k: (f.nb, f.table.tobytes(), f.counts.tobytes())
+            for k, f in self.shards.items()
+        }
         bc = spark.sparkContext.broadcast(payload)
 
         @F.pandas_udf("boolean")
@@ -256,13 +331,7 @@ class ShardedCuckoo:
                 if blob is None:
                     continue
                 if key not in local:
-                    nb, table = blob
-                    f = CuckooFilter(1)
-                    f.nb = int(nb)
-                    f.table = np.frombuffer(table, dtype=np.uint16).reshape(
-                        int(nb), SLOTS
-                    )
-                    local[key] = f
+                    local[key] = _from_blobs(*blob, writable=False)
                 mask = sv == key
                 out[mask] = local[key].maybe_contains(hv[mask])
             return pd.Series(out)
@@ -276,16 +345,57 @@ class ShardedCuckoo:
         key_col: str = "url_hash64",
         shard_col: str = "domain_salt",
     ) -> int:
-        """Remove the rows' fingerprints from their shards — the eviction
-        volume is an aggregate per (shard, key) collect (O(evicted), bounded
-        by the TTL window's new-URL mass; at production scale the same
-        per-shard deletion runs inside applyInPandas and ships tables, not
-        rows). Returns the number of entries removed."""
+        """Remove the rows' fingerprints from their shards, DISTRIBUTED:
+        the current shard tables broadcast out, the eviction set groups into
+        one Arrow batch per shard (the exact mirror of :meth:`build`), each
+        task vector-deletes its group's keys against its shard table, and
+        only the updated ~KB (table, counts) blobs come back — the driver
+        collects O(shards) blobs, never O(evicted) rows. Returns the number
+        of entries removed."""
+        if not self.shards:
+            return 0
+        spark = df.sparkSession
+        payload = {
+            k: (f.nb, f.table.tobytes(), f.counts.tobytes())
+            for k, f in self.shards.items()
+        }
+        bc = spark.sparkContext.broadcast(payload)
+
+        def _delete(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = pdf[shard_col].iloc[0]
+            blob = bc.value.get(key)
+            if blob is None:
+                return pd.DataFrame(
+                    {"shard": [], "table": [], "counts": [], "nb": [], "removed": []}
+                )
+            f = _from_blobs(*blob)
+            removed = f.delete_hashes(np.unique(pdf[key_col].to_numpy()))
+            return pd.DataFrame(
+                {
+                    "shard": [key],
+                    "table": [f.table.tobytes()],
+                    "counts": [f.counts.tobytes()],
+                    "nb": [f.nb],
+                    "removed": [removed],
+                }
+            )
+
+        rows = (
+            df.select(shard_col, key_col)
+            .groupBy(shard_col)
+            .applyInPandas(
+                _delete,
+                schema="shard string, table binary, counts binary, nb long, removed long",
+            )
+            .collect()
+        )
         removed = 0
-        for r in df.select(shard_col, key_col).distinct().collect():
-            f = self.shards.get(r[shard_col])
-            if f is not None:
-                removed += f.delete_hashes(np.array([r[key_col]]))
+        for r in rows:
+            self.shards[r["shard"]] = _from_blobs(
+                r["nb"], bytes(r["table"]), bytes(r["counts"])
+            )
+            removed += int(r["removed"])
+        bc.unpersist()
         return removed
 
     # ------------------------------------------------------------- snapshot
@@ -296,10 +406,11 @@ class ShardedCuckoo:
         meta = []
         for i, (key, f) in enumerate(sorted(self.shards.items())):
             arrays[f"table_{i}"] = f.table
+            arrays[f"counts_{i}"] = f.counts
             meta.append(key)
         arrays["meta_keys"] = np.array(meta, dtype=object)
         arrays["kind"] = np.array(["cuckoo"], dtype=object)
-        np.savez_compressed(buf, allow_pickle=True, **arrays)
+        np.savez_compressed(buf, **arrays)
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(buf.getvalue())
@@ -316,5 +427,11 @@ class ShardedCuckoo:
             f = CuckooFilter(1)
             f.nb = table.shape[0]
             f.table = table
+            # pre-refcount snapshots carry no counts — synthesize count 1
+            # per occupied slot (the semantics the old format encoded)
+            if f"counts_{i}" in z.files:
+                f.counts = z[f"counts_{i}"].copy()
+            else:
+                f.counts = (table != 0).astype(np.uint16)
             shards[str(key)] = f
         return cls(shards, expected_per_shard, fpp)

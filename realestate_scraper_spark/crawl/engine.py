@@ -112,6 +112,7 @@ class CrawlEngine:
         seen_compact_every: int = 8,
         geocode_dim: "DataFrame | None" = None,
         prefilter: str = "bloom",
+        prefilter_expected_per_shard: int | None = None,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -205,7 +206,21 @@ class CrawlEngine:
             self._pf_cls = ShardedCuckoo
         else:
             self._pf_cls = ShardedBloom
-        self.bloom = self._pf_cls(fpp=bloom_fpp)
+        # Shard capacity knob: cuckoo shards RAISE (never silently drop a
+        # fingerprint → false negative → duplicate fetch) when a shard
+        # outgrows this; size it above the expected per-(domain#salt) URL
+        # volume. Default 2^16 suits the sandbox corpora; production sizes
+        # it to frontier/(domains×salts).
+        pf_kw = (
+            {"expected_per_shard": prefilter_expected_per_shard}
+            if prefilter_expected_per_shard is not None
+            else {}
+        )
+        self.bloom = self._pf_cls(fpp=bloom_fpp, **pf_kw)
+        # populated by evict_seen(): {"evicted", "affected_shards",
+        # "total_shards", "rebuilt_rows"} — the O(affected shards) rebuild
+        # evidence (tests + eviction bench read it)
+        self.last_evict_stats: dict | None = None
         # cached PENDING working set (full frontier-schema rows); None until
         # seed()/resume(). Rebuilt per round from O(batch) unions; lineage
         # cut (localCheckpoint) every few rounds.
@@ -459,46 +474,85 @@ class CrawlEngine:
 
         Deletes from the durable bucketed store (bucket-parallel broadcast
         anti-join rewrite, crash-atomic) and from the in-memory prefilter:
-        a cuckoo prefilter (``prefilter="cuckoo"``) deletes fingerprints in
-        place — the reason it exists (north_rule "cuckoo-filter fallback
-        for deletable entries"); a Bloom prefilter cannot delete and is
-        REBUILT from the post-delete store — O(seen set), the cost the
-        cuckoo variant avoids. Returns the evicted row count."""
+        a cuckoo prefilter (``prefilter="cuckoo"``) vector-deletes
+        fingerprints in place, distributed per shard — the reason it exists
+        (north_rule "cuckoo-filter fallback for deletable entries"); a Bloom
+        prefilter cannot delete and is rebuilt SHARD-LOCALLY from the
+        post-delete store — only the (domain#salt) shards that actually
+        lost keys are re-keyed and re-built, O(affected shards), not
+        O(seen set).
+
+        Exact-delete handshake: only keys the durable store ACTUALLY held
+        (semi-join against the bucketed scan, computed BEFORE the delete)
+        reach the prefilter delete — a repeated eviction over the same TTL
+        window can therefore never decrement a cuckoo refcount it did not
+        increment (the false-negative-by-double-delete path). Returns the
+        evicted row count; per-eviction evidence lands in
+        ``self.last_evict_stats``."""
         fr = self.frontier()
         if fr is None:
             return 0
-        evict = (
-            fr.filter(
-                (F.col("kind") == "offer")
-                & (F.col("status") == STATUS_DONE)
-                & (F.col("round") <= F.lit(self.round_idx - ttl_rounds))
-            )
-            .select("url_canon", "url_hash64", "domain_salt")
-            .localCheckpoint()
-        )
-        n = self.seen_store.delete(evict)
+        evict = fr.filter(
+            (F.col("kind") == "offer")
+            & (F.col("status") == STATUS_DONE)
+            & (F.col("round") <= F.lit(self.round_idx - ttl_rounds))
+        ).select("url_canon", "url_hash64", "domain_salt")
+        # keys actually present in the store (the frontier may hold DONE
+        # rows whose URL an earlier eviction already forgot) — shuffle-hash
+        # semi against the bucketed scan: no sort, no store-side broadcast
+        present = evict.join(
+            self.seen_store.df().hint("shuffle_hash"), "url_canon", "left_semi"
+        ).localCheckpoint()
+        n = self.seen_store.delete(present)
         if n == 0:
+            self.last_evict_stats = {
+                "evicted": 0, "affected_shards": 0,
+                "total_shards": len(self.bloom.shards), "rebuilt_rows": 0,
+            }
             return 0
+        # O(shards) metadata collect — which (domain#salt) shards lost keys
+        salts = [
+            r[0] for r in present.select("domain_salt").distinct().collect()
+        ]
+        rebuilt_rows = 0
         if hasattr(self.bloom, "delete_df"):
-            self.bloom.delete_df(evict)
+            self.bloom.delete_df(present)
         else:
             from realestate_scraper_spark.functions.urlnorm import (
                 domain_salt as domain_salt_expr,
             )
 
-            keyed = self.seen_store.df().select(
-                "url_canon",
-                F.xxhash64(F.col("url_canon")).alias("url_hash64"),
-                domain_salt_expr(F.col("url_canon"), self.n_salts).alias(
-                    "domain_salt"
-                ),
-            )
-            self.bloom = self._pf_cls.build(
+            # shard-local rebuild: re-key + re-build ONLY the shards that
+            # lost keys; untouched shards keep their bitmaps as-is
+            keyed = (
+                self.seen_store.df()
+                .withColumn(
+                    "domain_salt",
+                    domain_salt_expr(F.col("url_canon"), self.n_salts),
+                )
+                .filter(F.col("domain_salt").isin(salts))
+                .withColumn("url_hash64", F.xxhash64(F.col("url_canon")))
+            ).localCheckpoint()
+            rebuilt_rows = keyed.count()
+            partial = self._pf_cls.build(
                 keyed,
                 expected_per_shard=self.bloom.expected_per_shard,
                 fpp=self.bloom_fpp,
             )
+            for s in salts:
+                if s in partial.shards:
+                    self.bloom.shards[s] = partial.shards[s]
+                else:
+                    # every key of the shard was evicted — absent shard
+                    # reads definitely-new, exactly right
+                    self.bloom.shards.pop(s, None)
         self.bloom.save(self.bloom_path)
+        self.last_evict_stats = {
+            "evicted": n,
+            "affected_shards": len(salts),
+            "total_shards": len(self.bloom.shards),
+            "rebuilt_rows": rebuilt_rows,
+        }
         return n
 
     def refresh_offers(self) -> int:

@@ -57,6 +57,10 @@ class ParquetTable:
         # snapshot dirs and never contend. Iceberg gives the same guarantee
         # via optimistic snapshot commits.
         self._commit_lock = threading.Lock()
+        # snapshot ordinal allocator — taken under the lock so concurrent
+        # appends can't mint the same numeric prefix (ADVICE r5); seeded
+        # from the persisted manifest so reopened tables keep counting up
+        self._snap_counter = len(self._manifest()["snapshots"])
 
     # ------------------------------------------------------------ manifest
     def _manifest(self) -> dict:
@@ -95,7 +99,10 @@ class ParquetTable:
         """Append a snapshot and return ``(rows, snapshot_path)`` — callers
         that read the delta back must name THIS snapshot, not "the latest"
         (another thread's append may have committed since)."""
-        snap_id = f"snap-{len(self._manifest()['snapshots']):05d}-{uuid.uuid4().hex[:8]}"
+        with self._commit_lock:
+            ordinal = self._snap_counter
+            self._snap_counter += 1
+        snap_id = f"snap-{ordinal:05d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.dir, snap_id)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -123,10 +130,12 @@ class ParquetTable:
         path = os.path.join(self.dir, snap_id)
         df.write.mode("overwrite").parquet(path)
         rows = _rows_from_footers(path)
-        self._commit(
-            {"snapshots": [{"id": snap_id, "path": path, "rows": rows,
-                            "round": round_idx, "stage": stage}]}
-        )
+        with self._commit_lock:
+            self._commit(
+                {"snapshots": [{"id": snap_id, "path": path, "rows": rows,
+                                "round": round_idx, "stage": stage}]}
+            )
+            self._snap_counter = 1
         for p in old:
             shutil.rmtree(p, ignore_errors=True)
         return rows

@@ -18,7 +18,7 @@ the batch/streaming unification is the point of Structured Streaming.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -67,7 +67,9 @@ def run_available_now(
     output_mode: str = "update",
 ) -> None:
     """Drain the stream with AvailableNow into a driver-side list via
-    foreachBatch (test/sandbox sink; production = Iceberg MERGE INTO).
+    foreachBatch (TEST-ONLY sink — the production shape is
+    :func:`run_merge_sink`, which MERGEs micro-batches into a
+    manifest-committed table; Iceberg: MERGE INTO).
 
     Default mode is ``update``: each micro-batch emits changed windows and
     the idempotent MERGE-by-key sink keeps the latest value — matching the
@@ -85,4 +87,64 @@ def run_available_now(
         .outputMode(output_mode)
         .start()
         .awaitTermination()
+    )
+
+
+def run_merge_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table,
+    key_cols: list[str],
+    output_mode: str = "update",
+) -> None:
+    """Production-shaped sink: MERGE each micro-batch into a
+    manifest-committed parquet table (sources/tables.ParquetTable) by key.
+
+    Write side is O(micro-batch): each batch lands as one delta snapshot
+    stamped with its ``_batch_id`` — never a table rewrite inside the hot
+    loop. Resolution is merge-on-read: :func:`merged_table` reconciles the
+    deltas latest-wins with a window over (batch id, commit order) — the
+    exact machinery the crawl engine's ``frontier()``/``offers()`` views
+    use (``tables.read_versioned``; Iceberg: ``MERGE INTO`` with snapshot
+    ordering / position deletes).
+
+    Idempotent under foreachBatch's at-least-once replay (the reference's
+    at-least-once + semantic-dedup contract, stream.py:59-69): a replayed
+    batch re-appends value-identical rows for the same keys and batch id,
+    and the latest-wins window collapses them — the merged view is
+    replay-invariant."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)),
+            stage=f"stream_merge:{batch_id}",
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode(output_mode)
+        .start()
+        .awaitTermination()
+    )
+
+
+def merged_table(
+    spark: SparkSession, table, key_cols: list[str]
+) -> DataFrame | None:
+    """Latest-wins view over a :func:`run_merge_sink` table: one row per
+    key, the most recent micro-batch's value (ties broken by commit order —
+    a replayed batch's re-append is value-identical, so the pick is
+    semantically deterministic)."""
+    df = table.read_versioned(spark)
+    if df is None:
+        return None
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc("_batch_id"), F.desc("_seq")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id", "_seq")
     )

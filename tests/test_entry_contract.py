@@ -23,6 +23,16 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"region_name", "n_customers", "total_acctbal"}
 
 
+def test_registry_is_exactly_fifty_keys():
+    """Registry hygiene guard (VERDICT r5 ask #8): the driver's board caps
+    at 50 rows — a future merge must extend an existing key, never append
+    past 50; and no key may sort past q54 (the board's last slot)."""
+    q = entry_mod.queries()
+    assert len(q) == 50, f"registry must stay at exactly 50 keys, got {len(q)}"
+    assert max(q) <= "q55", f"key past the board cap: {max(q)}"
+    assert all(k.startswith("q") and k[1:3].isdigit() for k in q)
+
+
 def test_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()

@@ -9,7 +9,11 @@ import time
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realestate_scraper_spark.streaming.live import run_available_now
+from realestate_scraper_spark.streaming.live import (
+    merged_table,
+    run_available_now,
+    run_merge_sink,
+)
 from realestate_scraper_spark.streaming.stateful import sessionize_stream
 
 SCHEMA = T.StructType(
@@ -80,3 +84,65 @@ def test_stateful_sessionizer_equals_batch(spark, tmp_path):
     }
     assert len(want) > 10
     assert got == want
+
+
+def _batch_session_counts(ev_batch) -> dict:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    return {
+        r["user_id"]: r["n"]
+        for r in ev_batch.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n"))
+        .collect()
+    }
+
+
+def test_merge_sink_stream_equals_batch(spark, tmp_path):
+    """VERDICT r5 ask #4: the production-shaped foreachBatch sink MERGEs
+    each micro-batch into a manifest-committed parquet table by key
+    (O(batch) delta appends + latest-wins merge-on-read — the engine's own
+    refresh/frontier machinery), and the merged table equals the batch
+    computation on the sessionize corpus. Replaying a batch (foreachBatch
+    is at-least-once) leaves the merged view unchanged."""
+    from realestate_scraper_spark.sources.tables import ParquetTable
+
+    landing = str(tmp_path / "landing")
+    _dirs, ev_batch = _landing_in_time_order(spark, landing)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    table = ParquetTable(str(tmp_path), "sessions")
+    run_merge_sink(
+        sessionize_stream(stream), str(tmp_path / "ckpt"), table, ["user_id"]
+    )
+    # several micro-batches landed as separate delta snapshots (O(batch)
+    # appends, no table rewrite in the loop)
+    assert len(table.lineage()) > 1
+
+    merged = merged_table(spark, table, ["user_id"])
+    got = {r["user_id"]: r["n_sessions"] for r in merged.collect()}
+    want = _batch_session_counts(ev_batch)
+    assert len(want) > 10
+    assert got == want
+    # one row per key in the merged view
+    assert merged.count() == len(want)
+
+    # at-least-once replay: re-append the LAST batch's delta verbatim (same
+    # _batch_id, same values) — the latest-wins view must not change
+    last = table.lineage()[-1]
+    replay = spark.read.parquet(last["path"])
+    table.append(replay, stage=last["stage"] + ":replay")
+    again = {
+        r["user_id"]: r["n_sessions"]
+        for r in merged_table(spark, table, ["user_id"]).collect()
+    }
+    assert again == want
