@@ -144,8 +144,36 @@ class CuckooFilter:
         )
 
     def delete_hashes(self, h64: np.ndarray) -> int:
+        """Vectorized bulk delete: resolve every key's (bucket, slot) target
+        in one numpy pass, scatter-add the decrements (``np.add.at`` — keys
+        sharing a slot aggregate), clip at the live counts, and free slots
+        that reach zero. Semantics match per-key deletion except in one
+        pathological case — MORE colliding keys in a single batch than the
+        slot's count — where the surplus keys are not re-tried against the
+        alternate bucket; the clip guarantees the safe direction (never
+        remove more than was inserted: a leftover fingerprint is a false
+        positive, routed to the exact join; never a false negative)."""
         arr = np.asarray(h64, dtype=np.int64)
-        return sum(1 for h in arr if self.delete(int(h)))
+        if len(arr) == 0:
+            return 0
+        fp = self._fp(arr)
+        i1 = self._i1(arr)
+        i2 = self._i2(i1, fp)
+        m1 = (self.table[i1] == fp[:, None]) & (self.counts[i1] > 0)
+        has1 = m1.any(axis=1)
+        s1 = m1.argmax(axis=1)
+        m2 = (self.table[i2] == fp[:, None]) & (self.counts[i2] > 0)
+        has2 = (~has1) & m2.any(axis=1)
+        s2 = m2.argmax(axis=1)
+        bi = np.concatenate([i1[has1], i2[has2]])
+        si = np.concatenate([s1[has1], s2[has2]])
+        dec = np.zeros(self.counts.shape, dtype=np.int64)
+        np.add.at(dec, (bi, si), 1)
+        applied = np.minimum(dec, self.counts.astype(np.int64))
+        removed = int(applied.sum())
+        self.counts = (self.counts.astype(np.int64) - applied).astype(np.uint16)
+        self.table[self.counts == 0] = 0
+        return removed
 
     def merge(self, other: "CuckooFilter") -> None:
         """Union by re-homing every stored (fingerprint, count) pair (same

@@ -503,7 +503,8 @@ class CrawlEngine:
         present = evict.join(
             self.seen_store.df().hint("shuffle_hash"), "url_canon", "left_semi"
         ).localCheckpoint()
-        n = self.seen_store.delete(present)
+        with self._phase("evict_store"):
+            n = self.seen_store.delete(present)
         if n == 0:
             self.last_evict_stats = {
                 "evicted": 0, "affected_shards": 0,
@@ -516,7 +517,8 @@ class CrawlEngine:
         ]
         rebuilt_rows = 0
         if hasattr(self.bloom, "delete_df"):
-            self.bloom.delete_df(present)
+            with self._phase("evict_prefilter"):
+                self.bloom.delete_df(present)
         else:
             from realestate_scraper_spark.functions.urlnorm import (
                 domain_salt as domain_salt_expr,
@@ -524,28 +526,29 @@ class CrawlEngine:
 
             # shard-local rebuild: re-key + re-build ONLY the shards that
             # lost keys; untouched shards keep their bitmaps as-is
-            keyed = (
-                self.seen_store.df()
-                .withColumn(
-                    "domain_salt",
-                    domain_salt_expr(F.col("url_canon"), self.n_salts),
+            with self._phase("evict_prefilter"):
+                keyed = (
+                    self.seen_store.df()
+                    .withColumn(
+                        "domain_salt",
+                        domain_salt_expr(F.col("url_canon"), self.n_salts),
+                    )
+                    .filter(F.col("domain_salt").isin(salts))
+                    .withColumn("url_hash64", F.xxhash64(F.col("url_canon")))
+                ).localCheckpoint()
+                rebuilt_rows = keyed.count()
+                partial = self._pf_cls.build(
+                    keyed,
+                    expected_per_shard=self.bloom.expected_per_shard,
+                    fpp=self.bloom_fpp,
                 )
-                .filter(F.col("domain_salt").isin(salts))
-                .withColumn("url_hash64", F.xxhash64(F.col("url_canon")))
-            ).localCheckpoint()
-            rebuilt_rows = keyed.count()
-            partial = self._pf_cls.build(
-                keyed,
-                expected_per_shard=self.bloom.expected_per_shard,
-                fpp=self.bloom_fpp,
-            )
-            for s in salts:
-                if s in partial.shards:
-                    self.bloom.shards[s] = partial.shards[s]
-                else:
-                    # every key of the shard was evicted — absent shard
-                    # reads definitely-new, exactly right
-                    self.bloom.shards.pop(s, None)
+                for s in salts:
+                    if s in partial.shards:
+                        self.bloom.shards[s] = partial.shards[s]
+                    else:
+                        # every key of the shard was evicted — absent shard
+                        # reads definitely-new, exactly right
+                        self.bloom.shards.pop(s, None)
         self.bloom.save(self.bloom_path)
         self.last_evict_stats = {
             "evicted": n,
