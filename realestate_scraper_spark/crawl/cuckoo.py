@@ -132,15 +132,55 @@ class CuckooFilter:
 
     def add_hashes(self, h64: np.ndarray) -> int:
         """Bulk insert; returns the number that could NOT be placed (0 when
-        the table was sized for the load — callers treat >0 as fatal)."""
+        the table was sized for the load — callers treat >0 as fatal).
+
+        Vectorized empty-slot placement: each pass picks every pending
+        key's first bucket with a free slot, ranks keys that chose the same
+        bucket, and scatters the ones whose rank fits into that bucket's
+        free slots (slot = the (rank+1)-th zero-count position, so deletion
+        holes are reused); the rest retry against the updated occupancy.
+        Keys still unplaced after the fast passes (near-full table) go
+        through the per-key kick path. Intra-batch (bucket, fp) collisions
+        take separate slots rather than merging counts — deletion handles
+        either representation (each entry absorbs one decrement)."""
         arr = np.asarray(h64, dtype=np.int64)
         if len(arr) == 0:
             return 0
         fps = self._fp(arr)
         i1s = self._i1(arr)
+        i2s = self._i2(i1s, fps)
+        pending = np.arange(len(arr))
+        for _ in range(8):
+            if len(pending) == 0:
+                return 0
+            b1, b2 = i1s[pending], i2s[pending]
+            free1 = (self.counts[b1] == 0).sum(axis=1)
+            pick = np.where(free1 > 0, b1, b2)
+            order = np.argsort(pick, kind="stable")
+            sp = pick[order]
+            # rank within each same-bucket run
+            starts = np.r_[True, sp[1:] != sp[:-1]]
+            run_start = np.maximum.accumulate(
+                np.where(starts, np.arange(len(sp)), 0)
+            )
+            rank = np.arange(len(sp)) - run_start
+            free = self.counts[sp] == 0  # (m, SLOTS) pre-pass state
+            nfree = free.sum(axis=1)
+            fits = rank < nfree
+            if not fits.any():
+                break
+            cs = np.cumsum(free, axis=1)
+            slot = np.argmax((cs == (rank + 1)[:, None]) & free, axis=1)
+            sel = order[fits]  # positions within `pending`
+            self.table[sp[fits], slot[fits]] = fps[pending[sel]]
+            self.counts[sp[fits], slot[fits]] = 1
+            keep = np.ones(len(pending), dtype=bool)
+            keep[sel] = False
+            pending = pending[keep]
+        # near-full table: per-key cuckoo kicks for the stragglers
         return sum(
-            0 if self.insert_fp(int(i), int(f)) else 1
-            for i, f in zip(i1s, fps)
+            0 if self.insert_fp(int(i1s[j]), int(fps[j])) else 1
+            for j in pending
         )
 
     def delete_hashes(self, h64: np.ndarray) -> int:
