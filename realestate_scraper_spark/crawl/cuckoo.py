@@ -256,14 +256,17 @@ class CuckooFilter:
         return False
 
     def maybe_contains(self, h64: np.ndarray) -> np.ndarray:
+        # fp table alone decides membership: fps are never 0 and a slot is
+        # zeroed the moment its count reaches 0, so table != 0 ⟺ live entry
+        # (lets filter_maybe_seen broadcast tables without count arrays)
         arr = np.asarray(h64, dtype=np.int64)
         if len(arr) == 0:
             return np.zeros(0, dtype=bool)
         fp = self._fp(arr)
         i1 = self._i1(arr)
         i2 = self._i2(i1, fp)
-        in1 = ((self.table[i1] == fp[:, None]) & (self.counts[i1] > 0)).any(axis=1)
-        in2 = ((self.table[i2] == fp[:, None]) & (self.counts[i2] > 0)).any(axis=1)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
         return in1 | in2
 
 
@@ -378,13 +381,14 @@ class ShardedCuckoo:
     ):
         """Attach ``maybe_seen`` via a broadcast of the shard tables —
         identical plan shape to ShardedBloom.filter_maybe_seen (narrow Arrow
-        pandas UDF, no shuffle)."""
+        pandas UDF, no shuffle). Membership needs only the fp tables (a
+        slot's fp is nonzero iff its count is — deletion zeroes freed
+        slots), so the refcount arrays stay out of the broadcast."""
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         payload = {
-            k: (f.nb, f.table.tobytes(), f.counts.tobytes())
-            for k, f in self.shards.items()
+            k: (f.nb, f.table.tobytes()) for k, f in self.shards.items()
         }
         bc = spark.sparkContext.broadcast(payload)
 
@@ -399,7 +403,13 @@ class ShardedCuckoo:
                 if blob is None:
                     continue
                 if key not in local:
-                    local[key] = _from_blobs(*blob, writable=False)
+                    nb, table = blob
+                    f = CuckooFilter(1)
+                    f.nb = int(nb)
+                    f.table = np.frombuffer(table, dtype=np.uint16).reshape(
+                        int(nb), SLOTS
+                    )
+                    local[key] = f
                 mask = sv == key
                 out[mask] = local[key].maybe_contains(hv[mask])
             return pd.Series(out)
