@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--cards", type=int, default=128)
     ap.add_argument("--lookahead", type=int, default=8)
     ap.add_argument("--weight-kb", type=int, default=48)
+    # probe knob: pin the salt-key count (default: engine derives 4×dp) —
+    # used to isolate salt-width-proportional per-round costs
+    ap.add_argument("--n-salts", type=int, default=None)
     args = ap.parse_args()
 
     from realestate_scraper_spark.crawl.engine import CrawlEngine
@@ -67,6 +70,7 @@ def main() -> None:
         # parallelism — each a per-level function, like executor-count-
         # scaled table properties on a real cluster.
         lookahead=args.lookahead,
+        n_salts=args.n_salts,
     )
     eng.seed(seed_urls())
     stats = eng.run(max_rounds=args.pages + 4)
