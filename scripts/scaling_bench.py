@@ -207,7 +207,26 @@ median isolates the engine from that noise. Raw JSON (median samples):
 """
     out_dir = REPO / "BENCH"
     out_dir.mkdir(exist_ok=True)
-    (out_dir / "BASELINE.md").write_text(md)
+    path = out_dir / "BASELINE.md"
+    # replace only the scaling sections this script owns — preserve every
+    # later section other benches append (eviction, soak, normalized
+    # deltas, the depth sweep + fit notes)
+    tail = ""
+    if path.exists():
+        old = path.read_text()
+        idxs = [
+            old.index(m)
+            for m in (
+                "## Eviction at volume",
+                "## Long-horizon soak",
+                "## Ceiling-normalized",
+                "## Round-loop amortization at depth",
+            )
+            if m in old
+        ]
+        if idxs:
+            tail = old[min(idxs):]
+    path.write_text(md.rstrip() + "\n\n" + tail if tail else md)
     print(
         json.dumps(
             {
