@@ -72,7 +72,7 @@ def main() -> None:
     probe = hw_probe()
 
     from realestate_scraper_spark.plans import relational, trainingdata
-    from realestate_scraper_spark.session import get_spark
+    from realestate_scraper_spark.session import get_spark, local_df
 
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -137,9 +137,11 @@ def main() -> None:
     # of the key), so no driver-held blobs are serialized into tasks — the
     # r2/r4 "task of very large size" staging WARN is gone structurally.
     img_path = os.path.join(tempfile.mkdtemp(prefix="bench_imgs_"), "images")
-    specs = spark.createDataFrame(
+    specs = local_df(
+        spark,
         image_spec_rows(offers),
         "image_id string, seed long, ordinal long, k long",
+        n_partitions=cpus,
     )
     specs.repartition(cpus).mapInPandas(
         synth_image_batches, schema=SYNTH_IMAGE_FIELDS

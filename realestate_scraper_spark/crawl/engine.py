@@ -78,6 +78,7 @@ from realestate_scraper_spark.schemas import (
     STATUS_PENDING,
     STATUS_ROBOTS,
 )
+from realestate_scraper_spark.session import local_df
 from realestate_scraper_spark.sources.tables import ParquetTable, _rows_from_footers
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
@@ -396,7 +397,7 @@ class CrawlEngine:
         if not self._metrics_buf:
             return
         self.t_metrics.append(
-            self.spark.createDataFrame(self._metrics_buf, METRICS_SCHEMA).coalesce(1),
+            local_df(self.spark, self._metrics_buf, METRICS_SCHEMA),
             round_idx=self.round_idx,
             stage="metrics",
         )
@@ -1185,7 +1186,7 @@ class CrawlEngine:
             )
             for src, v in sorted(state.items())
         ]
-        return self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
+        return local_df(self.spark, rows, CHECKPOINT_SCHEMA)
 
     # ------------------------------------------------------- image pipeline
     def process_images(

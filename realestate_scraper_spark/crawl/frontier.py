@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from realestate_scraper_spark.functions.urlnorm import with_url_keys
 from realestate_scraper_spark.schemas import FRONTIER_SCHEMA, STATUS_PENDING
+from realestate_scraper_spark.session import local_df
 
 # listing-page URL page-number parameter per source (synth.listing_url shapes)
 _PAGE_PARAM_RE = r"[?&](?:page|strona)=(\d+)"
@@ -49,8 +50,9 @@ def seed_frontier(
         kind = "listing" if m else "offer"
         page = int(m.group(1)) if m else 1
         rows.append((url, source, kind, page, slot if kind == "offer" else 0, 0))
-    df = spark.createDataFrame(
-        rows, "url string, source string, kind string, page_idx int, slot int, sub_slot int"
+    df = local_df(
+        spark, rows,
+        "url string, source string, kind string, page_idx int, slot int, sub_slot int",
     )
     return _finish_frontier_rows(df, round_idx=0, n_salts=n_salts)
 

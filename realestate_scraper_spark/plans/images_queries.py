@@ -16,6 +16,7 @@ from realestate_scraper_spark.functions.images import (
     decode_meta_batches,
 )
 from realestate_scraper_spark.schemas import IMAGES_SCHEMA
+from realestate_scraper_spark.session import local_df
 from realestate_scraper_spark.sources.synth import build_corpus
 
 REGISTRY: dict = {}
@@ -33,7 +34,7 @@ def _images_df(spark: SparkSession, n_pages: int = 2) -> DataFrame:
 
         _, images, _ = build_corpus(seed=42, n_pages=n_pages, cards_per_page=6)
         path = tempfile.mkdtemp(prefix="images_q_") + "/images"
-        spark.createDataFrame(images, schema=IMAGES_SCHEMA).write.parquet(path)
+        local_df(spark, images, IMAGES_SCHEMA, n_partitions=8).write.parquet(path)
         _STAGED[n_pages] = path
     return spark.read.parquet(path)
 

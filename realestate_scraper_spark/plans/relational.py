@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from realestate_scraper_spark.session import local_df
+
 REGISTRY: dict = {}
 
 
@@ -1101,7 +1103,7 @@ def q47_reverse_geocode(spark, sf_dir):
         reverse_geocode,
     )
 
-    dim = spark.createDataFrame(_RG_CITIES, "city string, lat double, lon double")
+    dim = local_df(spark, _RG_CITIES, "city string, lat double, lon double")
     c = t(spark, sf_dir, "customer")
     true_city = F.element_at(
         F.array(*[F.lit(n) for n, _, _ in _RG_CITIES]),

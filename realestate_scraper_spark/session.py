@@ -62,3 +62,26 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema, n_partitions: int = 1):
+    """Driver-local literal rows → DataFrame via the Arrow batch path.
+
+    ``spark.createDataFrame(list, schema)`` builds a pickled-Python RDD with
+    ``defaultParallelism`` partitions — on local[32] a 4-row seed list becomes
+    32 tasks, each forking a Python worker, so every downstream action on the
+    tiny literal costs ~5 s. Routing through pandas makes the driver build
+    Arrow batches once and the JVM execute them without any Python worker;
+    with ``coalesce(1)`` the same action costs ~0.2 s. Use for metadata-scale
+    literals only (seed lists, dim tables, checkpoint/metrics rows) — bulk
+    data belongs in parquet, never in a driver list.
+    """
+    import pandas as pd
+
+    if not rows:
+        # the empty-literal path never schedules real work; keep the plain API
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame.from_records(list(rows))
+    # positional mapping: pandas columns are 0..n-1; the explicit schema
+    # names+types them (verified: None → NULL, bytes → binary, int → int)
+    return spark.createDataFrame(pdf, schema=schema).coalesce(n_partitions)
