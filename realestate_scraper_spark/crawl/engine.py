@@ -388,9 +388,18 @@ class CrawlEngine:
                 self._write_checkpoint()
                 break
         with self._phase("run_finalize"):
-            self._flush_metrics()
-            self._compact_frontier()
-            self.finalize_curated()
+            # the three finalize jobs touch DISJOINT tables (t_metrics /
+            # t_frontier / curated-from-staged) — same overlap rationale as
+            # the in-round output jobs: the driver submits all three and the
+            # executor pool schedules them together
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(self._flush_metrics),
+                    pool.submit(self._compact_frontier),
+                    pool.submit(self.finalize_curated),
+                ]
+                for f in futs:
+                    f.result()
         return stats
 
     def _flush_metrics(self) -> None:
