@@ -67,6 +67,7 @@ from realestate_scraper_spark.crawl import parse as parse_mod
 from realestate_scraper_spark.crawl import refine as refine_mod
 from realestate_scraper_spark.crawl.bloom import ShardedBloom
 from realestate_scraper_spark.crawl.seenstore import BucketedSeenStore
+from realestate_scraper_spark.functions.codegen import ref_lit
 from realestate_scraper_spark.functions.urlnorm import url_hash32
 from realestate_scraper_spark.schemas import (
     CHECKPOINT_SCHEMA,
@@ -260,11 +261,20 @@ class CrawlEngine:
 
     @contextmanager
     def _phase(self, name: str):
+        # tag every job submitted from this (thread, phase) with the phase
+        # name — thread-local, so the overlapped staging/insert/update
+        # threads each label their own jobs. Event logs / the UI then carry
+        # an exact job→phase map; the r5/r6 inverse-scaling attributions
+        # came from exactly this tagging (previously ad-hoc).
+        sc = self.spark.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
+        sc.setLocalProperty("spark.job.description", name)
         t0 = time.monotonic()
         try:
             yield
         finally:
             self.phase_times[name] += time.monotonic() - t0
+            sc.setLocalProperty("spark.job.description", prev)
 
     # ------------------------------------------------------------- seeding
     def seed(self, seeds: list[tuple[str, str]]) -> None:
@@ -982,7 +992,11 @@ class CrawlEngine:
             staged = (
                 refine_mod.refined(parsed)
                 .drop("dim_lat", "dim_lon")
-                .withColumn("round", F.lit(self.round_idx))
+                # ref_lit: this projection (the full refine expression map —
+                # the largest codegen unit in the loop) is rebuilt every
+                # round; an inlined round literal would force a multi-second
+                # Janino recompile per round (functions/codegen.py)
+                .withColumn("round", ref_lit(self.round_idx, "int"))
             )
         with self._phase("staged_append"):
             self.t_staged.append(
@@ -1066,11 +1080,14 @@ class CrawlEngine:
             .when(requeue, STATUS_PENDING)
             .otherwise(STATUS_FAILED)
             .alias("status"),
-            F.lit(self.round_idx).alias("round"),
+            # ref_lit (not F.lit): the update projection is rebuilt per
+            # round; inlined round literals would recompile its codegen
+            # unit every round (functions/codegen.py)
+            ref_lit(self.round_idx, "int").alias("round"),
             frontier_mod.priority_expr(F.col("page_idx"), F.col("kind")).alias(
                 "priority"
             ),
-            F.when(requeue, F.lit(float(self.round_idx + 1)))
+            F.when(requeue, ref_lit(float(self.round_idx + 1), "double"))
             .otherwise(F.lit(None).cast("double"))
             .alias("retry_at"),
             F.when(is_transient, F.col("attempts") + 1)

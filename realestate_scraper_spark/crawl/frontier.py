@@ -15,6 +15,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realestate_scraper_spark.functions.codegen import ref_lit
 from realestate_scraper_spark.functions.urlnorm import with_url_keys
 from realestate_scraper_spark.schemas import FRONTIER_SCHEMA, STATUS_PENDING
 from realestate_scraper_spark.session import local_df
@@ -243,7 +244,11 @@ def finish_new_rows(candidates: DataFrame, round_idx: int) -> DataFrame:
         "sub_slot",
         s["offer_id"].alias("offer_id"),
         s["status"].alias("status"),
-        F.lit(round_idx).alias("round"),
+        # ref_lit: this projection lands in the insert write stage (dedup
+        # agg + seen anti-join + write — a fat codegen unit rebuilt every
+        # round); an inlined round literal would recompile it per round
+        # (functions/codegen.py)
+        ref_lit(round_idx, "int").alias("round"),
         s["priority"].alias("priority"),
         s["retry_at"].alias("retry_at"),
         s["attempts"].alias("attempts"),

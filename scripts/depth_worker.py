@@ -31,6 +31,12 @@ def main() -> None:
     # probe knob: pin the salt-key count (default: engine derives 4×dp) —
     # used to isolate salt-width-proportional per-round costs
     ap.add_argument("--n-salts", type=int, default=None)
+    # attribution knob: write a Spark event log here; with the engine's
+    # per-phase spark.job.description tagging this yields an exact
+    # job→stage→phase map (task metrics, GC, shuffle, python eval time)
+    ap.add_argument("--eventlog-dir", type=str, default=None)
+    # extra spark confs for A/B probes, e.g. --conf spark.sql.codegen.wholeStage=false
+    ap.add_argument("--conf", action="append", default=[])
     args = ap.parse_args()
 
     from realestate_scraper_spark.crawl.engine import CrawlEngine
@@ -41,12 +47,26 @@ def main() -> None:
         seed_urls,
     )
 
+    extra_conf: dict[str, str] = {}
+    if args.eventlog_dir:
+        Path(args.eventlog_dir).mkdir(parents=True, exist_ok=True)
+        extra_conf.update(
+            {
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": args.eventlog_dir,
+            }
+        )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        extra_conf[k] = v
+    extra_conf = extra_conf or None
     spark = get_spark(
         app_name=f"depth-{args.cpus}-{args.cards}",
         master=f"local[{args.cpus}]",
         # the fetch exchange is pinned to this width — scale it with the
         # level so the data plane actually runs cpus-wide at both levels
         shuffle_partitions=args.cpus,
+        extra_conf=extra_conf,
     )
     spark.range(1000).count()  # JVM warmup
 

@@ -104,3 +104,34 @@ def test_refine_is_pure_expressions(spark):
     empty = spark.createDataFrame([], OFFER_FIELDS)
     plan = _optimized(refined(empty))
     assert "pythonUDF" not in plan and "PythonUDF" not in plan
+
+
+def test_ref_lit_codegen_source_is_value_invariant(spark):
+    """Two plans differing only in a ref_lit constant must share ONE
+    generated class (compile-cache hit): the crawl loop rebuilds its write
+    projections every round with a fresh round stamp, and an inlined
+    primitive literal forces a Janino recompile per round per stage —
+    measured in the r6 depth probe as 1-5 s of core-invariant wall each in
+    the staged/insert/update stages (one task compiling at full CPU, all
+    others blocked on the code cache)."""
+    from realestate_scraper_spark.functions.codegen import ref_lit
+
+    base = spark.range(8)
+
+    def gen_src(df):
+        seq = df._jdf.queryExecution().debug().codegenToSeq()
+        return [seq.apply(i)._2() for i in range(seq.length())]
+
+    da = base.select(ref_lit(7, "int").alias("round"))
+    db = base.select(ref_lit(8, "int").alias("round"))
+    assert gen_src(da) == gen_src(db)
+    # plain literals are the control: they MUST differ (inlined)
+    ca = base.select(F.lit(7).alias("round"))
+    cb = base.select(F.lit(8).alias("round"))
+    assert gen_src(ca) != gen_src(cb)
+    # values and types are exact
+    assert [r.round for r in da.collect()] == [7] * 8
+    assert da.schema["round"].dataType.simpleString() == "int"
+    assert db.select(F.sum("round").alias("s")).collect()[0].s == 64
+    fa = base.select(ref_lit(3.5, "double").alias("retry_at"))
+    assert {r.retry_at for r in fa.collect()} == {3.5}
