@@ -65,7 +65,7 @@ from realestate_scraper_spark.crawl import fetch as fetch_mod
 from realestate_scraper_spark.crawl import frontier as frontier_mod
 from realestate_scraper_spark.crawl import parse as parse_mod
 from realestate_scraper_spark.crawl import refine as refine_mod
-from realestate_scraper_spark.crawl.bloom import ShardedBloom
+from realestate_scraper_spark.crawl.bloom import BloomBroadcastChain, ShardedBloom
 from realestate_scraper_spark.crawl.seenstore import BucketedSeenStore
 from realestate_scraper_spark.functions.codegen import ref_lit
 from realestate_scraper_spark.functions.urlnorm import url_hash32
@@ -219,6 +219,18 @@ class CrawlEngine:
             else {}
         )
         self.bloom = self._pf_cls(fpp=bloom_fpp, **pf_kw)
+        # Incremental prefilter broadcast (bloom only): per-round deltas ship
+        # raw new-key hashes, O(new URLs) bytes, instead of re-broadcasting
+        # the whole O(seen URLs) filter to every python worker every round.
+        # The cuckoo prefilter is deletable (not append-only), so it keeps
+        # per-round full broadcasts; _chain_reset() is a no-op there.
+        self._bloom_chain = (
+            BloomBroadcastChain(
+                spark, self.bloom.expected_per_shard, self.bloom.fpp
+            )
+            if self._pf_cls is ShardedBloom
+            else None
+        )
         # populated by evict_seen(): {"evicted", "affected_shards",
         # "total_shards", "rebuilt_rows"} — the O(affected shards) rebuild
         # evidence (tests + eviction bench read it)
@@ -276,6 +288,20 @@ class CrawlEngine:
             self.phase_times[name] += time.monotonic() - t0
             sc.setLocalProperty("spark.job.description", prev)
 
+    # -------------------------------------------------- prefilter broadcast
+    def _prefilter(self):
+        """What the frontier insert path tests membership against: the
+        incremental broadcast chain when the prefilter is a Bloom, else the
+        driver filter itself (cuckoo — full broadcast per round)."""
+        return self._bloom_chain if self._bloom_chain is not None else self.bloom
+
+    def _chain_reset(self) -> None:
+        """Re-seed the broadcast chain from the driver's full filter — called
+        after every WHOLESALE (re)build of self.bloom (seed / resume /
+        eviction); per-round growth goes through append_hashes instead."""
+        if self._bloom_chain is not None:
+            self._bloom_chain.reset(self.bloom)
+
     # ------------------------------------------------------------- seeding
     def seed(self, seeds: list[tuple[str, str]]) -> None:
         if self.robots_rules is None:
@@ -293,6 +319,7 @@ class CrawlEngine:
                 fpp=self.bloom_fpp,
             )
         )
+        self._chain_reset()
         self._track_new_agg(self._new_rows_agg(snap))
         self._pending = snap.localCheckpoint()
         self._write_checkpoint()
@@ -380,6 +407,7 @@ class CrawlEngine:
             eng.bloom = eng._pf_cls.load(eng.bloom_path, fpp=eng.bloom_fpp)
         elif fr is not None:
             eng.bloom = eng._pf_cls.build(fr, fpp=eng.bloom_fpp)
+        eng._chain_reset()
         return eng
 
     # ---------------------------------------------------------- round loop
@@ -570,6 +598,9 @@ class CrawlEngine:
                         # reads definitely-new, exactly right
                         self.bloom.shards.pop(s, None)
         self.bloom.save(self.bloom_path)
+        # eviction is exactly the mutation an append-only chain cannot
+        # express — re-seed the broadcast chain from the rebuilt filter
+        self._chain_reset()
         self.last_evict_stats = {
             "evicted": n,
             "affected_shards": len(salts),
@@ -808,10 +839,10 @@ class CrawlEngine:
             candidates = frontier_mod.classify_and_key_links(
                 links, self.n_salts,
                 dedup_partitions=self.seen_store.n_buckets,
-                bloom=self.bloom,
+                bloom=self._prefilter(),
             )
             fresh = frontier_mod.anti_join_seen(
-                candidates, self._seen(), self.bloom
+                candidates, self._seen(), self._prefilter()
             )
 
         # ---- ACTION 2: insert delta (O(new rows)) + update delta (status
@@ -849,9 +880,15 @@ class CrawlEngine:
                 self.seen_store.append(new_df)
 
         def _bloom():
-            # Bloom delta: built distributed per shard, OR-merged driver-
-            # side (~KB bitmaps) — no row collect (north_rule lifecycle)
+            # Prefilter delta. Bloom path: the round's NEW-KEY HASHES, built
+            # distributed per shard and collected as O(new URLs × 8 B) —
+            # folded into the driver filter vectorized AND appended to the
+            # broadcast chain, so workers never re-read the whole filter.
+            # Cuckoo path: bitmap-table delta, OR-merged driver-side and
+            # re-broadcast in full next round (deletable ⇒ not chainable).
             with self._phase("bloom_build"):
+                if self._bloom_chain is not None:
+                    return ShardedBloom.collect_hash_deltas(new_df)
                 return self._pf_cls.build(
                     new_df,
                     expected_per_shard=self.bloom.expected_per_shard,
@@ -881,7 +918,13 @@ class CrawlEngine:
                 bloom_fut = pool.submit(_bloom)
                 agg_fut = pool.submit(_agg)
                 seen_fut.result()
-                self.bloom.merge(bloom_fut.result())
+                delta = bloom_fut.result()
+                if self._bloom_chain is not None:
+                    for shard_key, arr in delta.items():
+                        self.bloom.add_local(shard_key, arr)
+                    self._bloom_chain.append_hashes(delta)
+                else:
+                    self.bloom.merge(delta)
                 agg = agg_fut.result()
                 self._track_new_agg(agg)
                 for r in agg:
