@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--eventlog-dir", type=str, default=None)
     # extra spark confs for A/B probes, e.g. --conf spark.sql.codegen.wholeStage=false
     ap.add_argument("--conf", action="append", default=[])
+    # multi-JVM mode: run on local-cluster[N, cpus, 2048*cpus] — N separate
+    # executor processes with their OWN heaps and python workers, torrent
+    # broadcast and shuffle crossing process boundaries. --cpus then means
+    # cores PER EXECUTOR; scaling evidence = grow N at fixed executor size,
+    # the way a real cluster grows.
+    ap.add_argument("--executors", type=int, default=None)
     args = ap.parse_args()
 
     from realestate_scraper_spark.crawl.engine import CrawlEngine
@@ -60,14 +66,32 @@ def main() -> None:
         k, _, v = kv.partition("=")
         extra_conf[k] = v
     extra_conf = extra_conf or None
+    if args.executors:
+        total = args.executors * args.cpus
+        master = f"local-cluster[{args.executors},{args.cpus},{2048 * args.cpus}]"
+        # executor JVMs spawn their own python workers, which don't inherit
+        # the driver's sys.path — ship the repo root explicitly
+        extra_conf = dict(extra_conf or {})
+        extra_conf["spark.executorEnv.PYTHONPATH"] = str(REPO)
+    else:
+        total = args.cpus
+        master = f"local[{args.cpus}]"
     spark = get_spark(
-        app_name=f"depth-{args.cpus}-{args.cards}",
-        master=f"local[{args.cpus}]",
+        app_name=f"depth-{total}-{args.cards}",
+        master=master,
         # the fetch exchange is pinned to this width — scale it with the
-        # level so the data plane actually runs cpus-wide at both levels
-        shuffle_partitions=args.cpus,
+        # level so the data plane actually runs cluster-wide at both levels
+        shuffle_partitions=total,
         extra_conf=extra_conf,
     )
+    if args.executors:
+        # executors register asynchronously; the engine derives its write
+        # widths from defaultParallelism, so wait for the full cluster
+        deadline = time.monotonic() + 60
+        sc = spark.sparkContext
+        while sc.defaultParallelism < total and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert sc.defaultParallelism == total, sc.defaultParallelism
     spark.range(1000).count()  # JVM warmup
 
     offers = make_offers(
@@ -99,7 +123,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "cpus": args.cpus,
+                "cpus": total,
+                "executors": args.executors,
                 "cards": args.cards,
                 "depth": args.pages,
                 "lookahead": args.lookahead,
