@@ -135,3 +135,6 @@ def test_ref_lit_codegen_source_is_value_invariant(spark):
     assert db.select(F.sum("round").alias("s")).collect()[0].s == 64
     fa = base.select(ref_lit(3.5, "double").alias("retry_at"))
     assert {r.retry_at for r in fa.collect()} == {3.5}
+    # the wrapper must not force an interpreted fallback: the projection
+    # stays inside a WholeStageCodegen span ('*(n)' prefix)
+    assert "*(" in da._jdf.queryExecution().executedPlan().toString()
