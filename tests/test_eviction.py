@@ -44,11 +44,15 @@ def _rediscovery_candidates(spark, eng, row):
         ],
         _LINK_SCHEMA,
     )
+    # _prefilter() is the exact object the round loop consults: the
+    # BloomBroadcastChain (reset wholesale by evict_seen) on the bloom
+    # path, the driver filter itself on the cuckoo path
+    pf = eng._prefilter()
     cands = frontier_mod.classify_and_key_links(
         links, eng.n_salts,
-        dedup_partitions=eng.seen_store.n_buckets, bloom=eng.bloom,
+        dedup_partitions=eng.seen_store.n_buckets, bloom=pf,
     )
-    return frontier_mod.anti_join_seen(cands, eng._seen(), eng.bloom)
+    return frontier_mod.anti_join_seen(cands, eng._seen(), pf)
 
 
 @pytest.fixture(scope="module")
