@@ -312,16 +312,37 @@ class CrawlEngine:
         snap = self.spark.read.parquet(self.t_frontier.snapshot_paths()[0])
         self.seen_store.reset()
         self.seen_store.append(snap)
-        self.bloom = self._pf_cls(fpp=self.bloom_fpp)
-        self.bloom.merge(
-            self._pf_cls.build(
-                snap, expected_per_shard=self.bloom.expected_per_shard,
-                fpp=self.bloom_fpp,
-            )
+        # Seeds arrived as a driver LIST, so O(seeds) driver work is free by
+        # construction: ONE metadata-scale collect feeds the prefilter, the
+        # counters and the broadcast chain — replacing three separate jobs
+        # (applyInPandas bloom build, agg collect, localCheckpoint) that
+        # cost multi-second fixed latency on a wide session. expected-
+        # per-shard is preserved (a fresh default-arg filter silently
+        # dropped the ctor knob before).
+        rows = snap.select(
+            "domain_salt", "url_hash64", "source", "kind", "page_idx"
+        ).collect()
+        self.bloom = self._pf_cls(
+            fpp=self.bloom_fpp,
+            expected_per_shard=self.bloom.expected_per_shard,
         )
+        by_salt: dict[str, list[int]] = defaultdict(list)
+        counts: dict[tuple, int] = defaultdict(int)
+        for r in rows:
+            by_salt[r["domain_salt"]].append(r["url_hash64"])
+            counts[(r["source"], r["kind"], r["page_idx"])] += 1
+        for salt, hashes in by_salt.items():
+            self.bloom.add_local(salt, hashes)
         self._chain_reset()
-        self._track_new_agg(self._new_rows_agg(snap))
-        self._pending = snap.localCheckpoint()
+        self._track_new_agg(
+            [
+                {"source": s, "kind": k, "page_idx": p, "n": n}
+                for (s, k, p), n in counts.items()
+            ]
+        )
+        # snap is a disk-rooted scan already — checkpointing it would only
+        # add one more tiny job; the working set stays lazily recomputable
+        self._pending = snap
         self._write_checkpoint()
 
     def _bootstrap_robots(self, seeds: list[tuple[str, str]]) -> None:
