@@ -931,8 +931,12 @@ class CrawlEngine:
             ins_fut = pool.submit(_ins)
             upd_fut = pool.submit(_upd)
             ins_n, ins_path = ins_fut.result()
+            # explicit schema: the snapshot was written from FRONTIER_COLS
+            # this round — inferring it back would re-read footers per round
             new_df = (
-                self.spark.read.parquet(ins_path) if ins_n else None
+                self.spark.read.schema(FRONTIER_SCHEMA).parquet(ins_path)
+                if ins_n
+                else None
             )
             if new_df is not None:
                 seen_fut = pool.submit(_seen)
@@ -969,8 +973,10 @@ class CrawlEngine:
         # it would add a dead parquet scan to the working-set plan per round
         requeue_n = sum(r["n"] for r in summary if self._is_requeue(r))
         if upd_n and requeue_n:
-            requeues = self.spark.read.parquet(upd_path).filter(
-                F.col("status") == STATUS_PENDING
+            requeues = (
+                self.spark.read.schema(FRONTIER_SCHEMA)
+                .parquet(upd_path)
+                .filter(F.col("status") == STATUS_PENDING)
             )
             nxt = nxt.unionByName(requeues.select(*FRONTIER_COLS))
         if new_df is not None:
