@@ -92,6 +92,13 @@ def _rows_under(path: str) -> int:
     return _rows_from_footers(path) if os.path.isdir(path) else 0
 
 
+# sessions whose crawl-specific first-time costs were already pre-warmed
+# (python worker army, staged-write codegen + parquet committer) — one
+# warmup per SparkSession, not per engine, so test suites that construct
+# many engines pay it once
+_WARMED_SESSIONS: set[str] = set()
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -115,6 +122,7 @@ class CrawlEngine:
         geocode_dim: "DataFrame | None" = None,
         prefilter: str = "bloom",
         prefilter_expected_per_shard: int | None = None,
+        warmup: bool = True,
     ):
         self.spark = spark
         self.run_dir = run_dir
@@ -270,6 +278,108 @@ class CrawlEngine:
         self._staged_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="staged"
         )
+        # async pre-warm of the session's crawl-specific first-time costs,
+        # overlapped with seed() / round 1 (both are latency-bound driver
+        # sequences, so the executor pool is idle while they run)
+        self._warmup_thread = None
+        if warmup:
+            self._start_warmup()
+
+    # -------------------------------------------------------------- warmup
+    def _start_warmup(self) -> None:
+        import threading
+
+        app = self.spark.sparkContext.applicationId
+        if app in _WARMED_SESSIONS:
+            return
+        _WARMED_SESSIONS.add(app)
+        t = threading.Thread(
+            target=self._warmup, name="crawl-warmup", daemon=True
+        )
+        t.start()
+        self._warmup_thread = t
+
+    def _warmup(self) -> None:
+        """Best-effort pre-warm, measured against the r6 cold profile where
+        seed (6 s) + round 1 (8 s) were two-thirds of a 4-round crawl:
+
+        1. fork + import the python worker army (one ``mapInPandas`` task
+           per core — round 1's fused fetch stage otherwise pays ~1 s/worker
+           of fork+import latency on its first batch),
+        2. compile the staged write path by running a 1-row TWIN of the
+           ``_stage_offers`` plan (same fused-schema cached scan → refine
+           projection → partitionBy(is_valid) parquet write, so both the
+           fat refine codegen unit — the r6 event logs caught a 13 s Janino
+           compile on the first offer round — and the committer classes are
+           hot when real offers arrive; Janino caches by source text, and
+           ``ref_lit`` keeps the round literal out of the source).
+
+        Runs on a daemon thread, once per SparkSession; failures are
+        swallowed (a missed warmup costs latency, never correctness) and no
+        run-dir state is touched (the twin writes under a throwaway tmpdir).
+        """
+        import shutil
+        import tempfile
+
+        sc = self.spark.sparkContext
+        sc.setLocalProperty("spark.job.description", "warmup")
+        try:
+            dp = sc.defaultParallelism
+
+            def _pass(batches):
+                yield from batches
+
+            def _worker_army():
+                # local properties are thread-local — re-tag
+                sc.setLocalProperty("spark.job.description", "warmup")
+                self.spark.range(dp).repartition(dp).mapInPandas(
+                    _pass, "id long"
+                ).count()
+
+            # the two warm targets are independent jobs — overlap them
+            army = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="warmup-workers"
+            )
+            army_fut = army.submit(_worker_army)
+
+            one = fetch_mod.fused_one_row(self.spark).cache()
+            one.count()
+            parsed = one.filter(
+                (F.col("kind") == "offer")
+                & (F.col("fetch_status") == fetch_mod.FETCH_OK)
+            ).select(
+                "url", "url_canon", "source", "page_idx", "slot", "sub_slot",
+                *parse_mod.RAW_COL_NAMES,
+            )
+            if self.geocode_dim is not None:
+                dim = self.geocode_dim.select(
+                    F.col("city").alias("raw_city"),
+                    F.col("street").alias("raw_street"),
+                    "dim_lat",
+                    "dim_lon",
+                )
+                parsed = parsed.join(
+                    F.broadcast(dim), ["raw_city", "raw_street"], "left"
+                )
+            staged = (
+                refine_mod.refined(parsed)
+                .drop("dim_lat", "dim_lon")
+                .withColumn("round", ref_lit(0, "int"))
+            )
+            tmp = tempfile.mkdtemp(prefix="crawl_warmup_")
+            try:
+                self._coalesced(staged).write.mode("overwrite").partitionBy(
+                    "is_valid"
+                ).parquet(os.path.join(tmp, "staged"))
+            finally:
+                one.unpersist()
+                shutil.rmtree(tmp, ignore_errors=True)
+            army_fut.result()
+            army.shutdown(wait=False)
+        except Exception:
+            pass
+        finally:
+            sc.setLocalProperty("spark.job.description", None)
 
     @contextmanager
     def _phase(self, name: str):

@@ -328,6 +328,35 @@ _META_COLS = (
 )
 
 
+def fused_one_row(spark):
+    """A 1-row DataFrame with the exact FUSED_FIELDS schema — the engine's
+    warmup twin input. unionByName with the empty typed frame pins column
+    order AND types (a bare selectExpr would drift on int widths), and one
+    real row keeps AQE's empty-relation propagation from pruning the plan
+    the warmup exists to compile."""
+    empty = spark.createDataFrame([], FUSED_FIELDS)
+    one = spark.range(1).selectExpr(
+        "'page' as row_kind", "'u' as url", "'u' as url_canon",
+        "cast(1 as long) as url_hash64", "'otodom' as source",
+        "'d' as domain", "'d#0' as domain_salt", "'offer' as kind",
+        "1 as page_idx", "0 as slot", "0 as sub_slot", "0 as attempts",
+        f"'{FETCH_OK}' as fetch_status",
+        "cast(0.0 as double) as fetched_at_ms", "0 as dom_idx",
+        "'h' as href", "true as parse_ok",
+        "cast(1.0 as double) as raw_price", "'PLN' as raw_currency",
+        "cast(1.0 as double) as raw_ppm2", "cast(1.0 as double) as raw_area",
+        "1 as raw_rooms", "'c' as raw_city",
+        "cast(1.0 as double) as raw_lat", "cast(1.0 as double) as raw_lon",
+        "array(named_struct('url', 'p', 'w', 1)) as photo_urls",
+        "'t' as raw_title", "'d' as raw_district", "'s' as raw_street",
+        "1 as raw_floor", "1 as raw_floors", "'primary' as raw_market",
+        "'flat' as raw_ptype", "'2024-01-01' as raw_posted",
+        "'2024-01-01' as raw_updated", "2000 as raw_year",
+        "array('a') as raw_features",
+    )
+    return empty.unionByName(one)
+
+
 def make_fetch_parse_stage(
     page_store_bc,
     n_salts: int,
