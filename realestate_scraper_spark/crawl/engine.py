@@ -418,20 +418,33 @@ class CrawlEngine:
             self._bootstrap_robots(seeds)
         df = frontier_mod.seed_frontier(self.spark, seeds, self.n_salts)
         frontier_mod.assert_frontier_schema(df)
-        self.t_frontier.overwrite(df.coalesce(1), round_idx=0, stage="seed")
-        snap = self.spark.read.parquet(self.t_frontier.snapshot_paths()[0])
+        # The seed frame is a driver-local literal, so the three output
+        # steps below — durable seed snapshot, bucketed seen store, and the
+        # ONE metadata-scale collect that feeds the prefilter, the counters
+        # and the broadcast chain — share no data dependency and run as
+        # concurrent jobs (each recomputes the trivial local plan). The
+        # serialized form paid ~1 s of first-job latency per step on a
+        # fresh session. expected-per-shard is preserved (a fresh
+        # default-arg filter silently dropped the ctor knob before).
         self.seen_store.reset()
-        self.seen_store.append(snap)
-        # Seeds arrived as a driver LIST, so O(seeds) driver work is free by
-        # construction: ONE metadata-scale collect feeds the prefilter, the
-        # counters and the broadcast chain — replacing three separate jobs
-        # (applyInPandas bloom build, agg collect, localCheckpoint) that
-        # cost multi-second fixed latency on a wide session. expected-
-        # per-shard is preserved (a fresh default-arg filter silently
-        # dropped the ctor knob before).
-        rows = snap.select(
-            "domain_salt", "url_hash64", "source", "kind", "page_idx"
-        ).collect()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            w_fut = pool.submit(
+                self.t_frontier.overwrite,
+                df.coalesce(1),
+                round_idx=0,
+                stage="seed",
+            )
+            s_fut = pool.submit(self.seen_store.append, df)
+            rows = df.select(
+                "domain_salt", "url_hash64", "source", "kind", "page_idx"
+            ).collect()
+            w_fut.result()
+            s_fut.result()
+        # lazy, schema-pinned re-read: the durable snapshot (not the driver
+        # literal) roots the working set, so it stays recomputable from disk
+        snap = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self.t_frontier.snapshot_paths()[0]
+        )
         self.bloom = self._pf_cls(
             fpp=self.bloom_fpp,
             expected_per_shard=self.bloom.expected_per_shard,
