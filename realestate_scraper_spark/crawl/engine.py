@@ -859,68 +859,16 @@ class CrawlEngine:
             ).cache()
             pages = fetched.filter(F.col("row_kind") == "page")
 
-        # ---- ACTION 1: fetch summary (batch size, lineage counters, status
-        #      mix, per-page yield accounting, politeness high-water marks)
-        #      in one aggregation. Cardinality is structurally bounded:
-        #      ``attempts`` is collapsed into the boolean ST8 ``requeue``
-        #      verdict and ``page_idx`` is kept ONLY for listing rows (the
-        #      same pagination-depth-bounded metadata the driver already
-        #      tracks), so the collect is O(salts × statuses) for the offer
-        #      bulk + O(pagination depth) for listings — never
-        #      O(depth × salts × attempts) at 10^10-frontier scale.
-        with self._phase("fetch_summary"):
-            requeue_expr = (
-                F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
-            ) & (F.col("attempts") + 1 < self.max_transient_attempts)
-            page_key = F.when(F.col("kind") == "listing", F.col("page_idx"))
-            summary = (
-                pages.groupBy(
-                    "source", "domain_salt", "kind", "fetch_status",
-                    requeue_expr.alias("requeue"),
-                    page_key.alias("page_key"),
-                )
-                .agg(
-                    F.count("*").alias("n"),
-                    F.max("fetched_at_ms").alias("max_at"),
-                )
-                .collect()
-            )
-        batch_n = sum(r["n"] for r in summary)
-        # advance the cross-round politeness clock (ST7); rows that spent no
-        # budget (robots/missing) record -1 and are ignored
-        for r in summary:
-            if r["max_at"] is not None and r["max_at"] >= 0:
-                k = r["domain_salt"]
-                if r["max_at"] > self._salt_clock.get(k, -1.0):
-                    self._salt_clock[k] = r["max_at"]
-        if batch_n == 0:
-            fetched.unpersist()
-            self._finalize_done()
-            return False, 0, 0
-        self._sources.update(r["source"] for r in summary)
-        self._track_fetched(summary)
-        # listing pages whose fetch RESOLVED this round (not re-enqueued) —
-        # the per-source page count feeding the A5 no-new streak
-        listing_pages_fetched: dict[str, set[int]] = defaultdict(set)
-        for r in summary:
-            if (
-                r["kind"] == "listing"
-                and not self._is_requeue(r)
-                # MISSING = beyond-end-of-pagination (404 past the last
-                # page): no content was observed, so it neither feeds the
-                # A5 no-new streak nor counts as a content page
-                and r["fetch_status"] != fetch_mod.FETCH_MISSING
-            ):
-                listing_pages_fetched[r["source"]].add(r["page_key"])
-
         # ---- offers → parse → refine → ONE staged append (raw zone);
-        #      curated tables are views finalized once per run. Submitted to
-        #      the staging thread FIRST so it overlaps the frontier path
-        #      below: the two touch DISJOINT tables (t_staged vs
-        #      t_frontier/seen/bloom) and both read only the
-        #      already-materialized `fetched` cache, so the round's two
-        #      independent output jobs share the executor pool instead of
-        #      serializing driver-submission latency.
+        #      curated tables are views finalized once per run. Submitted
+        #      FIRST — before any action has materialized the fetched cache:
+        #      every consumer below (staged / summary / insert / update)
+        #      races over the same cache, and the BlockManager's per-block
+        #      get-or-compute locks make the fused stage compute exactly
+        #      once while the racers' downstream stages overlap. The r6
+        #      serialized form paid the summary action's full latency
+        #      BEFORE submitting any output job — ~1 s/round of
+        #      core-invariant wall at depth-bench load.
         staged_fut = self._staged_pool.submit(self._stage_offers, pages)
 
         # ---- link rows (already extracted inside the fused stage) → new
@@ -1053,6 +1001,61 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=5) as pool:
             ins_fut = pool.submit(_ins)
             upd_fut = pool.submit(_upd)
+
+            # ---- ACTION: fetch summary (batch size, lineage counters,
+            #      status mix, per-page yield accounting, politeness
+            #      high-water marks) in one aggregation, collected on the
+            #      MAIN thread while the insert/update/staged jobs run.
+            #      Cardinality is structurally bounded: ``attempts`` is
+            #      collapsed into the boolean ST8 ``requeue`` verdict and
+            #      ``page_idx`` is kept ONLY for listing rows (the same
+            #      pagination-depth-bounded metadata the driver already
+            #      tracks), so the collect is O(salts × statuses) for the
+            #      offer bulk + O(pagination depth) for listings — never
+            #      O(depth × salts × attempts) at 10^10-frontier scale.
+            with self._phase("fetch_summary"):
+                requeue_expr = (
+                    F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
+                ) & (F.col("attempts") + 1 < self.max_transient_attempts)
+                page_key = F.when(
+                    F.col("kind") == "listing", F.col("page_idx")
+                )
+                summary = (
+                    pages.groupBy(
+                        "source", "domain_salt", "kind", "fetch_status",
+                        requeue_expr.alias("requeue"),
+                        page_key.alias("page_key"),
+                    )
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.max("fetched_at_ms").alias("max_at"),
+                    )
+                    .collect()
+                )
+            batch_n = sum(r["n"] for r in summary)
+            # advance the cross-round politeness clock (ST7); rows that
+            # spent no budget (robots/missing) record -1 and are ignored
+            for r in summary:
+                if r["max_at"] is not None and r["max_at"] >= 0:
+                    k = r["domain_salt"]
+                    if r["max_at"] > self._salt_clock.get(k, -1.0):
+                        self._salt_clock[k] = r["max_at"]
+            self._sources.update(r["source"] for r in summary)
+            self._track_fetched(summary)
+            # listing pages whose fetch RESOLVED this round (not
+            # re-enqueued) — the per-source page count feeding A5
+            listing_pages_fetched: dict[str, set[int]] = defaultdict(set)
+            for r in summary:
+                if (
+                    r["kind"] == "listing"
+                    and not self._is_requeue(r)
+                    # MISSING = beyond-end-of-pagination (404 past the
+                    # last page): no content was observed, so it neither
+                    # feeds the A5 no-new streak nor counts as content
+                    and r["fetch_status"] != fetch_mod.FETCH_MISSING
+                ):
+                    listing_pages_fetched[r["source"]].add(r["page_key"])
+
             ins_n, ins_path = ins_fut.result()
             # explicit schema: the snapshot was written from FRONTIER_COLS
             # this round — inferring it back would re-read footers per round
@@ -1085,6 +1088,14 @@ class CrawlEngine:
         with self._phase("staged_join"):
             offers_n = staged_fut.result()
         self._offers_total += offers_n
+
+        # defensive backstop: an empty batch normally never reaches here
+        # (the round-start eligible-counter check returns first), but if it
+        # does, every output job above was a joined no-op (0-row appends)
+        if batch_n == 0:
+            fetched.unpersist()
+            self._finalize_done()
+            return False, 0, 0
 
         # ---- next working set: O(batch) unions whose roots are all ON DISK
         # (previous checkpoint + this round's delta parquet), so the lazy
