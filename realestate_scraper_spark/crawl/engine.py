@@ -398,6 +398,13 @@ class CrawlEngine:
             self.phase_times[name] += time.monotonic() - t0
             sc.setLocalProperty("spark.job.description", prev)
 
+    def _tagged(self, name: str, fn, *args, **kwargs):
+        """Run ``fn`` under a phase tag on the CALLING thread — the pool
+        helper for jobs submitted off worker threads, where the main
+        thread's thread-local description is invisible."""
+        with self._phase(name):
+            return fn(*args, **kwargs)
+
     # -------------------------------------------------- prefilter broadcast
     def _prefilter(self):
         """What the frontier insert path tests membership against: the
@@ -429,15 +436,20 @@ class CrawlEngine:
         self.seen_store.reset()
         with ThreadPoolExecutor(max_workers=2) as pool:
             w_fut = pool.submit(
+                self._tagged,
+                "seed_snapshot",
                 self.t_frontier.overwrite,
                 df.coalesce(1),
                 round_idx=0,
                 stage="seed",
             )
-            s_fut = pool.submit(self.seen_store.append, df)
-            rows = df.select(
-                "domain_salt", "url_hash64", "source", "kind", "page_idx"
-            ).collect()
+            s_fut = pool.submit(
+                self._tagged, "seed_seen", self.seen_store.append, df
+            )
+            with self._phase("seed_bootstrap"):
+                rows = df.select(
+                    "domain_salt", "url_hash64", "source", "kind", "page_idx"
+                ).collect()
             w_fut.result()
             s_fut.result()
         # lazy, schema-pinned re-read: the durable snapshot (not the driver
@@ -573,12 +585,17 @@ class CrawlEngine:
             # the three finalize jobs touch DISJOINT tables (t_metrics /
             # t_frontier / curated-from-staged) — same overlap rationale as
             # the in-round output jobs: the driver submits all three and the
-            # executor pool schedules them together
+            # executor pool schedules them together. Each is re-tagged on
+            # its OWN pool thread (_phase is thread-local — the tag set on
+            # the main thread does not reach jobs submitted from a worker).
             with ThreadPoolExecutor(max_workers=3) as pool:
                 futs = [
-                    pool.submit(self._flush_metrics),
-                    pool.submit(self._compact_frontier),
-                    pool.submit(self.finalize_curated),
+                    pool.submit(self._tagged, "finalize_metrics",
+                                self._flush_metrics),
+                    pool.submit(self._tagged, "finalize_compact",
+                                self._compact_frontier),
+                    pool.submit(self._tagged, "finalize_curated",
+                                self.finalize_curated),
                 ]
                 for f in futs:
                     f.result()
