@@ -455,3 +455,25 @@ def test_fused_stage_closure_stays_small(spark):
         )
     finally:
         bc.unpersist()
+
+
+def test_every_crawl_job_is_phase_tagged(engine_run):
+    """Observability contract: the full crawl lifecycle — seed's three
+    bootstrap jobs, every per-round output job, and the three finalize
+    legs — accounts its wall under a named phase, including jobs submitted
+    from pool worker threads (where the main thread's thread-local
+    ``spark.job.description`` is invisible; engine._tagged re-tags them).
+    Event-log attribution (scripts/evlog_phases.py) relies on exactly this
+    map; the r5/r6 inverse-scaling root causes were found through it."""
+    eng, _ = engine_run
+    got = set(eng.phase_times)
+    required = {
+        "seed_snapshot", "seed_seen", "seed_bootstrap",
+        "fetch_plan", "fetch_summary", "links_plan", "updates_plan",
+        "insert_append", "update_append", "seen_append", "bloom_build",
+        "new_rows_agg", "staged_plan", "staged_append", "staged_join",
+        "run_finalize", "finalize_metrics", "finalize_compact",
+        "finalize_curated",
+    }
+    missing = required - got
+    assert not missing, f"untagged crawl phases: {sorted(missing)}"
