@@ -92,6 +92,19 @@ def _rows_under(path: str) -> int:
     return _rows_from_footers(path) if os.path.isdir(path) else 0
 
 
+def is_single_jvm_master(master: str) -> bool:
+    """True when every task thread shares the driver JVM (``local`` /
+    ``local[N]`` / ``local[N,F]``). There — and ONLY there — the
+    BlockManager's per-block get-or-compute lock makes concurrent jobs
+    racing over one uncached ``.cache()`` compute each partition exactly
+    once. On every multi-executor master (``local-cluster``, standalone,
+    YARN, k8s) that lock is executor-LOCAL: two racing jobs can compute the
+    same uncached partition on different executors, so an expensive python
+    stage behind a shared cache runs up to min(racers, executors) times.
+    The round loop keys its job-submission order off this predicate."""
+    return master == "local" or master.startswith("local[")
+
+
 # sessions whose crawl-specific first-time costs were already pre-warmed
 # (python worker army, staged-write codegen + parquet committer) — one
 # warmup per SparkSession, not per engine, so test suites that construct
@@ -126,6 +139,14 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.run_dir = run_dir
+        # single-JVM masters may safely RACE output jobs over the round's
+        # fused cache (compute-once is lock-guaranteed); multi-executor
+        # masters must materialize the cache first or the fused parse runs
+        # once per racing executor (see is_single_jvm_master / _one_round)
+        self._single_jvm = is_single_jvm_master(spark.sparkContext.master)
+        # opt-in instrumentation: a LongAccumulator counting fused-stage
+        # partition computes (duplicate-compute probe; see fetch_parse)
+        self.parse_computes_acc = None
         # Widths scale with the session's parallelism by default (the r3
         # scale finding: fixed constants capped the in-loop data plane at
         # 4-8 tasks regardless of core count). Callers pin explicit values
@@ -873,19 +894,35 @@ class CrawlEngine:
                 robots_rules_bc=self._robots_bc(),
                 start_offsets=dict(self._salt_clock),
                 t0_wall=self._wall_t0,
+                # opt-in probe (benches/tests): counts fused-stage partition
+                # COMPUTES; == n_partitions iff the cache was shared
+                computes_acc=self.parse_computes_acc,
             ).cache()
             pages = fetched.filter(F.col("row_kind") == "page")
 
         # ---- offers → parse → refine → ONE staged append (raw zone);
-        #      curated tables are views finalized once per run. Submitted
-        #      FIRST — before any action has materialized the fetched cache:
-        #      every consumer below (staged / summary / insert / update)
-        #      races over the same cache, and the BlockManager's per-block
-        #      get-or-compute locks make the fused stage compute exactly
-        #      once while the racers' downstream stages overlap. The r6
-        #      serialized form paid the summary action's full latency
-        #      BEFORE submitting any output job — ~1 s/round of
-        #      core-invariant wall at depth-bench load.
+        #      curated tables are views finalized once per run. On a
+        #      single-JVM master this is submitted FIRST — before any action
+        #      has materialized the fetched cache: every consumer below
+        #      (staged / summary / insert / update) races over the same
+        #      cache, and the BlockManager's per-block get-or-compute locks
+        #      make the fused stage compute exactly once while the racers'
+        #      downstream stages overlap. The r6 serialized form paid the
+        #      summary action's full latency BEFORE submitting any output
+        #      job — ~1 s/round of core-invariant wall at depth-bench load.
+        #
+        #      On a MULTI-EXECUTOR master that race is unsound: the
+        #      get-or-compute lock is per-JVM, so racing jobs compute the
+        #      same uncached partition on different executors and the fused
+        #      python parse runs up to min(racers, executors) times
+        #      (measured on local-cluster — see BENCH/BASELINE.md multi-JVM
+        #      section). There the summary scan — one narrow full pass —
+        #      materializes the cache FIRST, then the output jobs fan out
+        #      over warm blocks (remote block fetch, never recompute).
+        summary = None
+        if not self._single_jvm:
+            with self._phase("fetch_summary"):
+                summary = self._collect_fetch_summary(pages)
         staged_fut = self._staged_pool.submit(self._stage_offers, pages)
 
         # ---- link rows (already extracted inside the fused stage) → new
@@ -1021,34 +1058,13 @@ class CrawlEngine:
 
             # ---- ACTION: fetch summary (batch size, lineage counters,
             #      status mix, per-page yield accounting, politeness
-            #      high-water marks) in one aggregation, collected on the
-            #      MAIN thread while the insert/update/staged jobs run.
-            #      Cardinality is structurally bounded: ``attempts`` is
-            #      collapsed into the boolean ST8 ``requeue`` verdict and
-            #      ``page_idx`` is kept ONLY for listing rows (the same
-            #      pagination-depth-bounded metadata the driver already
-            #      tracks), so the collect is O(salts × statuses) for the
-            #      offer bulk + O(pagination depth) for listings — never
-            #      O(depth × salts × attempts) at 10^10-frontier scale.
-            with self._phase("fetch_summary"):
-                requeue_expr = (
-                    F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
-                ) & (F.col("attempts") + 1 < self.max_transient_attempts)
-                page_key = F.when(
-                    F.col("kind") == "listing", F.col("page_idx")
-                )
-                summary = (
-                    pages.groupBy(
-                        "source", "domain_salt", "kind", "fetch_status",
-                        requeue_expr.alias("requeue"),
-                        page_key.alias("page_key"),
-                    )
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.max("fetched_at_ms").alias("max_at"),
-                    )
-                    .collect()
-                )
+            #      high-water marks) in one aggregation — on a single-JVM
+            #      master collected HERE on the main thread while the
+            #      insert/update/staged jobs run; on a multi-executor master
+            #      it already ran above as the cache materializer.
+            if summary is None:
+                with self._phase("fetch_summary"):
+                    summary = self._collect_fetch_summary(pages)
             batch_n = sum(r["n"] for r in summary)
             # advance the cross-round politeness clock (ST7); rows that
             # spent no budget (robots/missing) record -1 and are ignored
@@ -1266,6 +1282,32 @@ class CrawlEngine:
         computed IN the summary aggregation — the collect never carries the
         raw attempts dimension.)"""
         return bool(r["requeue"])
+
+    def _collect_fetch_summary(self, pages: DataFrame) -> list:
+        """One aggregation over the round's page rows → the driver's
+        bookkeeping rows. Cardinality is structurally bounded: ``attempts``
+        is collapsed into the boolean ST8 ``requeue`` verdict and
+        ``page_idx`` is kept ONLY for listing rows (the same
+        pagination-depth-bounded metadata the driver already tracks), so
+        the collect is O(salts × statuses) for the offer bulk +
+        O(pagination depth) for listings — never O(depth × salts ×
+        attempts) at 10^10-frontier scale."""
+        requeue_expr = (
+            F.col("fetch_status") == fetch_mod.FETCH_TRANSIENT
+        ) & (F.col("attempts") + 1 < self.max_transient_attempts)
+        page_key = F.when(F.col("kind") == "listing", F.col("page_idx"))
+        return (
+            pages.groupBy(
+                "source", "domain_salt", "kind", "fetch_status",
+                requeue_expr.alias("requeue"),
+                page_key.alias("page_key"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.max("fetched_at_ms").alias("max_at"),
+            )
+            .collect()
+        )
 
     def _status_updates(self, fetched: DataFrame) -> DataFrame:
         """Fetched rows → full-schema frontier rows with their new status.

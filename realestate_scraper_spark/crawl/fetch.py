@@ -364,6 +364,7 @@ def make_fetch_parse_stage(
     robots_rules_bc=None,
     start_offsets: dict[str, float] | None = None,
     t0_wall: float | None = None,
+    computes_acc=None,
 ):
     """The fused stage: politeness-governed fetch + link extraction + offer
     parse cascade in ONE python pass per partition (same semantics as
@@ -380,6 +381,12 @@ def make_fetch_parse_stage(
     )
 
     def fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one tick per PARTITION COMPUTE: a partition served from cache never
+        # re-enters this generator, so the accumulator reads n_partitions iff
+        # the round's racing consumers shared one compute (the multi-executor
+        # duplicate-compute probe — see engine.is_single_jvm_master)
+        if computes_acc is not None:
+            computes_acc.add(1)
         for pdf in batches:
             gate = (
                 pdf["robots_allowed"]
@@ -489,6 +496,7 @@ def fetch_parse(
     robots_rules_bc=None,
     start_offsets: dict[str, float] | None = None,
     t0_wall: float | None = None,
+    computes_acc=None,
 ) -> DataFrame:
     """Repartition by domain_salt and run the FUSED fetch+parse stage (see
     make_fetch_parse_stage); the same pinned-count exchange rationale as
@@ -500,6 +508,7 @@ def fetch_parse(
         page_store_bc, n_salts, real_sleep=real_sleep,
         robots_rules_bc=robots_rules_bc,
         start_offsets=start_offsets, t0_wall=t0_wall,
+        computes_acc=computes_acc,
     )
     n_part = int(
         frontier_batch.sparkSession.conf.get("spark.sql.shuffle.partitions")
