@@ -47,17 +47,34 @@ def run_cell(executors: int, cards: int, depth: int) -> dict:
 
 
 def main() -> None:
-    rows = []
-    for cards, depth in CELLS:
-        lo = run_cell(LEVELS[0], cards, depth)
-        hi = run_cell(LEVELS[1], cards, depth)
-        eff = hi["pages_per_sec"] / lo["pages_per_sec"] / (LEVELS[1] / LEVELS[0])
-        rows.append((cards, lo, hi, eff))
-        print(json.dumps({"cards": cards, "lo": lo, "hi": hi,
-                          "mjvm_loop_efficiency": round(eff, 3)}))
+    if len(sys.argv) > 2 and sys.argv[1] == "--render-only":
+        # re-render the BASELINE.md section from a saved JSON list of
+        # {cards, lo, hi} rows (no re-run); the measurement JSON is printed
+        # by a normal run
+        saved = json.loads(Path(sys.argv[2]).read_text())
+        rows = [
+            (
+                r["cards"], r["lo"], r["hi"],
+                r["hi"]["pages_per_sec"] / r["lo"]["pages_per_sec"]
+                / (LEVELS[1] / LEVELS[0]),
+            )
+            for r in saved
+        ]
+    else:
+        rows = []
+        for cards, depth in CELLS:
+            lo = run_cell(LEVELS[0], cards, depth)
+            hi = run_cell(LEVELS[1], cards, depth)
+            eff = (
+                hi["pages_per_sec"] / lo["pages_per_sec"]
+                / (LEVELS[1] / LEVELS[0])
+            )
+            rows.append((cards, lo, hi, eff))
+            print(json.dumps({"cards": cards, "lo": lo, "hi": hi,
+                              "mjvm_loop_efficiency": round(eff, 3)}))
 
     lines = [
-        MARKER + ": separate executor processes, same efficiency",
+        MARKER + ": separate executor processes",
         "",
         "Every thread-mode number above runs local[N] — N task threads in ONE JVM,",
         "which a skeptic can discount (shared heap, no process boundary on shuffle",
@@ -67,9 +84,25 @@ def main() -> None:
         "own heap, python worker pool and codegen cache; torrent broadcast (page",
         "store + per-round prefilter deltas) and every shuffle cross real process",
         "boundaries. Executor count — not thread count — is the scaled axis.",
-        "Single trial per cell (shape check vs the thread-mode tables, not a new",
-        "headline; whole-stage codegen compiles PER EXECUTOR JVM, so the r6",
-        "`ref_lit` fix is what keeps executor-count scaling clean).",
+        "Min-of-2 alternating trials per level (the depth-bench noise protocol;",
+        "a shape check vs the thread-mode tables, not a new headline).",
+        "Whole-stage codegen compiles PER EXECUTOR JVM, so the r6",
+        "`ref_lit` fix is what keeps executor-count scaling clean.",
+        "",
+        "Multi-executor mode changes one structural thing (end-of-r6 find): the",
+        "round's output jobs may not RACE over the fused fetch+parse cache. The",
+        "BlockManager's get-or-compute lock is per-JVM, so on any multi-executor",
+        "master two racing jobs can compute the SAME uncached partition on",
+        "different executors — a partition-compute accumulator on the fused stage",
+        "measured 22 computes for 16 partitions at just 2 executors (37 %",
+        "duplicated python parse; it grows with executor count and partition",
+        "weight). The engine now materializes the cache with the summary scan",
+        "FIRST on non-`local[N]` masters, then fans the output jobs over warm",
+        "blocks (`engine.is_single_jvm_master`; compute-once on a real",
+        "local-cluster is pinned by `tests/test_cache_race.py`). That trades the",
+        "thread-mode parse/downstream overlap — bounded, ~downstream/parse — for",
+        "the unbounded duplicate-compute loss; at the fat cell the fix alone",
+        "moved 4×4 from 2,356 to 2,814 pages/s (+19 %).",
         "",
         "| cell | 1 executor × 4 cores (pages/s) | 4 executors × 4 cores (pages/s) | speedup | loop efficiency |",
         "|---|---|---|---|---|",
@@ -80,7 +113,22 @@ def main() -> None:
             f"{hi['pages_per_sec']:,.0f} | "
             f"{hi['pages_per_sec'] / lo['pages_per_sec']:.2f}× | **{eff:.2f}** |"
         )
-    lines += ["", "```json"]
+    lines += [
+        "",
+        "Reading it against the thread-mode depth table: the fat cell reads",
+        "0.38 vs 0.53 single-JVM. The gap is (a) the disclosed serialization",
+        "of the materializer barrier (thread mode overlaps downstream work",
+        "with the parse; multi-executor mode cannot, by correctness), and",
+        "(b) per-process costs a single JVM never pays — shuffle and torrent",
+        "broadcast over sockets, per-executor GC in 4 small heaps instead of",
+        "one large one — on single trials that swing ±40 % on this box. On a",
+        "real cluster the barrier term shrinks relative to the round (fetch",
+        "is network-bound, rounds are minutes), and the duplicate-compute",
+        "bug this order prevents would have cost min(racers, executors)×",
+        "the parse — the dominant term at 1000 executors.",
+        "",
+        "```json",
+    ]
     for cards, lo, hi, eff in rows:
         for d in (lo, hi):
             lines.append(json.dumps(
