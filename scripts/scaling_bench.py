@@ -142,7 +142,9 @@ North-rule criterion: the same job, same input, at two cluster sizes with
 throughput scaling efficiency ≥ 0.8 from N to 4N executors. No real cluster
 exists in this sandbox, so the evidence is the same job at `local[{N_LO}]` vs
 `local[{N_HI}]` (4× the cores), one fresh JVM per level
-(`scripts/scaling_bench.py`).
+(`scripts/scaling_bench.py`) — plus the same criterion re-run on SEPARATE
+EXECUTOR PROCESSES (`local-cluster`, executor count as the scaled axis) in
+the "Multi-JVM evidence" section below.
 
 The job = (1) full crawl of the deterministic 4-portal synthetic web
 (fetch → parse → Bloom dedup → refine → sinks) and (2) the distributed image

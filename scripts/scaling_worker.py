@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=100000)
     ap.add_argument("--pages", type=int, default=4)
     ap.add_argument("--cards", type=int, default=64)
+    # multi-JVM mode: local-cluster[N, cpus, 2048*cpus] — N separate executor
+    # processes; --cpus then means cores PER EXECUTOR (see depth_worker)
+    ap.add_argument("--executors", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -50,11 +53,30 @@ def main() -> None:
 
     # the fetch exchange is pinned to the shuffle width — scale it with the
     # level so the loop's data plane runs cpus-wide at both levels
+    extra_conf = None
+    if args.executors:
+        total = args.executors * args.cpus
+        master = f"local-cluster[{args.executors},{args.cpus},{2048 * args.cpus}]"
+        # executor JVMs spawn their own python workers, which don't inherit
+        # the driver's sys.path — ship the repo root explicitly
+        extra_conf = {"spark.executorEnv.PYTHONPATH": str(REPO)}
+    else:
+        total = args.cpus
+        master = f"local[{args.cpus}]"
     spark = get_spark(
-        app_name=f"scaling-{args.cpus}",
-        master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus,
+        app_name=f"scaling-{total}",
+        master=master,
+        shuffle_partitions=total,
+        extra_conf=extra_conf,
     )
+    if args.executors:
+        # executors register asynchronously; widths derive from
+        # defaultParallelism, so wait for the full cluster
+        sc = spark.sparkContext
+        deadline = time.monotonic() + 60
+        while sc.defaultParallelism < total and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert sc.defaultParallelism == total, sc.defaultParallelism
     spark.range(1000).count()  # JVM warmup
 
     # ---- crawl
@@ -62,7 +84,7 @@ def main() -> None:
     graph = make_site_graph(offers, n_pages=args.pages)
     t0 = time.monotonic()
     eng = CrawlEngine(
-        spark, tempfile.mkdtemp(prefix=f"scale{args.cpus}_"), graph,
+        spark, tempfile.mkdtemp(prefix=f"scale{total}_"), graph,
         # widths (salt keys ≈ 4× partitions, append fan-in, seen buckets)
         # DERIVE from defaultParallelism — the per-level table/job
         # properties a real cluster would scale with executor count
@@ -116,11 +138,11 @@ def main() -> None:
     # ---- distributed image pipeline (spec → synth → codec roundtrip → hash)
     # warm the Arrow/pandas python workers so cold-start import time is not
     # measured (a steady-state cluster has warm executors)
-    warm = spark.range(args.cpus * 4).select(
+    warm = spark.range(total * 4).select(
         F.concat(F.lit("w"), F.col("id").cast("string")).alias("image_id"),
         F.col("id").alias("seed"), F.lit(0).alias("k"),
         F.lit(32).alias("w"), F.lit(32).alias("h"), F.lit("png").alias("fmt"),
-    ).repartition(args.cpus)
+    ).repartition(total)
     warm.mapInPandas(synth_decode_batches, schema=SYNTH_DECODE_FIELDS).write.format(
         "noop"
     ).mode("overwrite").save()
@@ -135,7 +157,7 @@ def main() -> None:
             F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")),
             (F.col("id") % 3 + 1).cast("int"),
         ).alias("fmt"),
-    ).repartition(args.cpus * 2)
+    ).repartition(total * 2)
     # best of 3 trials: all-core turbo wobble on this box is ±10%, and the
     # criterion concerns steady-state throughput, not a cold single shot
     image_sec = float("inf")
@@ -152,7 +174,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "cpus": args.cpus,
+                "cpus": total,
+                "executors": args.executors,
                 "crawl_sec": round(crawl_sec, 2),
                 "crawl_pages": stats["pages_fetched"],
                 "pages_per_sec": round(stats["pages_fetched"] / crawl_sec, 2),
