@@ -31,34 +31,61 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's tuned defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
-    cores) in the sandbox; on a cluster the caller passes ``None`` and lets
-    spark-submit own it.
+    Two launch shapes:
+
+    - **Driver-owned** (tests, bench, sandbox scripts): python starts the JVM.
+      ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+      cores) and every engine default is set on the builder.
+    - **spark-submit-owned** (the cluster shape in BASELINE.json's north
+      rule: ``spark-submit --py-files engine.zip scripts/run_crawl.py``):
+      the JVM gateway already exists (``PYSPARK_GATEWAY_PORT`` is exported
+      by PythonRunner) and ``--master`` / ``--conf`` / ``--driver-memory``
+      belong to the operator. The builder then sets NOTHING that would
+      shadow the submitted conf; engine defaults are applied *after*
+      ``getOrCreate`` via ``spark.conf.set`` only for runtime-settable keys
+      the operator did not explicitly submit (``sc.getConf.contains`` is
+      true only for explicit settings, never Spark's own defaults).
     """
-    if master is None:
+    submit_owned = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submit_owned:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+
+    engine_defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(
+            ARROW_MAX_RECORDS_PER_BATCH
+        ),
+        "spark.sql.session.timeZone": "UTC",
+        # Deterministic float formatting across JVM/Python boundaries.
+        "spark.sql.legacy.allowUntypedScalaUDF": "false",
+        "spark.sql.shuffle.partitions": (
+            "32" if shuffle_partitions is None else str(shuffle_partitions)
+        ),
+    }
+
+    if submit_owned:
+        builder = SparkSession.builder.appName(app_name)
+        for k, v in (extra_conf or {}).items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        submitted = spark.sparkContext.getConf()
+        for k, v in engine_defaults.items():
+            if not submitted.contains(k):
+                spark.conf.set(k, v)
+        return spark
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config(
-            "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(ARROW_MAX_RECORDS_PER_BATCH),
-        )
-        .config("spark.sql.session.timeZone", "UTC")
-        # Deterministic float formatting across JVM/Python boundaries.
-        .config("spark.sql.legacy.allowUntypedScalaUDF", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
-    if shuffle_partitions is not None:
-        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    else:
-        builder = builder.config("spark.sql.shuffle.partitions", "32")
+    for k, v in engine_defaults.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

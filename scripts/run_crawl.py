@@ -48,7 +48,10 @@ def main() -> None:
                     help="enforce politeness in wall-clock (live crawls)")
     args = ap.parse_args()
 
-    from realestate_scraper_spark.crawl.engine import CrawlEngine
+    from realestate_scraper_spark.crawl.engine import (
+        CrawlEngine,
+        is_single_jvm_master,
+    )
     from realestate_scraper_spark.crawl.politeness import parse_robots_txt
     from realestate_scraper_spark.session import get_spark
     from realestate_scraper_spark.sources.synth import (
@@ -59,6 +62,27 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="crawl")
+    sc = spark.sparkContext
+    if not is_single_jvm_master(sc.master):
+        # Multi-executor master: wait for executor registration before the
+        # engine ctor sizes its exchanges off defaultParallelism. For
+        # local-cluster[n,c,mem] the target core count is knowable exactly;
+        # on dynamic masters (YARN/k8s) the first job blocks on executors
+        # anyway, so no wait is needed.
+        import re
+        import time
+
+        m = re.match(r"local-cluster\[(\d+),(\d+),\d+\]", sc.master)
+        if m:
+            want = int(m.group(1)) * int(m.group(2))
+            deadline = time.monotonic() + 120
+            while sc.defaultParallelism < want and time.monotonic() < deadline:
+                time.sleep(0.5)
+            if sc.defaultParallelism < want:
+                raise RuntimeError(
+                    f"executors never registered: {sc.defaultParallelism}"
+                    f"/{want} cores after 120 s"
+                )
     offers = make_offers(seed=42, n_pages=args.pages, cards_per_page=args.cards)
     graph = make_site_graph(offers, n_pages=args.pages)
     rules = {
