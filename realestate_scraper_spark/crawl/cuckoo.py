@@ -422,21 +422,36 @@ class ShardedCuckoo:
         df,
         key_col: str = "url_hash64",
         shard_col: str = "domain_salt",
+        shard_keys: list | None = None,
     ) -> int:
         """Remove the rows' fingerprints from their shards, DISTRIBUTED:
-        the current shard tables broadcast out, the eviction set groups into
+        the AFFECTED shard tables broadcast out, the eviction set groups into
         one Arrow batch per shard (the exact mirror of :meth:`build`), each
         task vector-deletes its group's keys against its shard table, and
         only the updated ~KB (table, counts) blobs come back — the driver
-        collects O(shards) blobs, never O(evicted) rows. Returns the number
-        of entries removed."""
+        collects O(affected shards) blobs, never O(evicted) rows.
+
+        ``shard_keys`` (the distinct shards in ``df``) bounds the broadcast:
+        a TTL eviction usually touches a few shards of a large filter, and
+        untouched shards have nothing to delete — shipping them would make
+        the broadcast O(total filter) instead of O(affected shards). When
+        the caller has not already computed the set (the engine has, from
+        its affected-shards stats), one O(shards) metadata collect derives
+        it here. Returns the number of entries removed."""
         if not self.shards:
             return 0
         spark = df.sparkSession
+        if shard_keys is None:
+            shard_keys = [
+                r[0] for r in df.select(shard_col).distinct().collect()
+            ]
         payload = {
             k: (f.nb, f.table.tobytes(), f.counts.tobytes())
-            for k, f in self.shards.items()
+            for k, f in ((k, self.shards.get(k)) for k in shard_keys)
+            if f is not None
         }
+        if not payload:
+            return 0
         bc = spark.sparkContext.broadcast(payload)
 
         def _delete(pdf: pd.DataFrame) -> pd.DataFrame:

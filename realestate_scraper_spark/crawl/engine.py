@@ -747,8 +747,10 @@ class CrawlEngine:
         ]
         rebuilt_rows = 0
         if hasattr(self.bloom, "delete_df"):
+            # affected-shards list bounds the broadcast to the shards that
+            # actually lost keys — O(affected), never O(total filter)
             with self._phase("evict_prefilter"):
-                self.bloom.delete_df(present)
+                self.bloom.delete_df(present, shard_keys=salts)
         else:
             from realestate_scraper_spark.functions.urlnorm import (
                 domain_salt as domain_salt_expr,

@@ -369,3 +369,50 @@ def test_evict_seen_bloom_fallback_rebuilds(spark, tmp_path):
     assert eng.evict_seen(ttl_rounds=0) > 0
     fresh = _rediscovery_candidates(spark, eng, done)
     assert [r["url_canon"] for r in fresh.collect()] == [done["url_canon"]]
+
+
+def test_cuckoo_delete_broadcast_ships_affected_shards_only(spark, monkeypatch):
+    """The distributed delete's broadcast payload is bounded by the shards
+    the eviction set touches — a TTL window touching 1 of N shards must not
+    ship the other N-1 shards' tables (O(affected), mirroring the Bloom
+    path's shard-local rebuild)."""
+    import numpy as np
+
+    from realestate_scraper_spark.crawl.cuckoo import ShardedCuckoo
+
+    df = spark.range(600).select(
+        F.concat(F.lit("s"), (F.col("id") % 6).cast("string")).alias(
+            "domain_salt"
+        ),
+        F.xxhash64("id").alias("url_hash64"),
+    )
+    filt = ShardedCuckoo.build(df, expected_per_shard=1024)
+    before = dict(filt.shards)
+
+    captured = []
+    sc = spark.sparkContext
+    orig = sc.broadcast
+
+    def spy(value):
+        captured.append(value)
+        return orig(value)
+
+    monkeypatch.setattr(sc, "broadcast", spy)
+    removed = filt.delete_df(df.filter(F.col("domain_salt") == "s3"))
+    monkeypatch.setattr(sc, "broadcast", orig)
+
+    assert removed == 100
+    payloads = [c for c in captured if isinstance(c, dict)]
+    assert payloads, "delete_df broadcast not captured"
+    assert set(payloads[-1]) == {"s3"}, sorted(payloads[-1])
+    # untouched shard objects keep identity — never round-tripped
+    assert all(filt.shards[k] is before[k] for k in before if k != "s3")
+    # and the deleted shard's keys now read definitely-new
+    hashes = np.array(
+        [
+            r["url_hash64"]
+            for r in df.filter(F.col("domain_salt") == "s3").collect()
+        ],
+        dtype=np.int64,
+    )
+    assert not filt.shards["s3"].maybe_contains(hashes).any()
