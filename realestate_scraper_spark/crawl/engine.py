@@ -921,6 +921,12 @@ class CrawlEngine:
         #      section). There the summary scan — one narrow full pass —
         #      materializes the cache FIRST, then the output jobs fan out
         #      over warm blocks (remote block fetch, never recompute).
+        #      (Negative result, measured at the 8192-card 4×4-executor
+        #      cell: using the STAGED WRITE as the materializer instead —
+        #      hoping its write would pipeline with the compute — reads
+        #      2,088 vs 2,362 pages/s same-session: the staged job's pre-write exchange
+        #      is a stage barrier, so nothing pipelines and the other three
+        #      consumers just wait behind the write too.)
         summary = None
         if not self._single_jvm:
             with self._phase("fetch_summary"):
