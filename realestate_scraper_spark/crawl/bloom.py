@@ -136,7 +136,10 @@ class ShardedBloom:
             if key in self.shards:
                 self.shards[key].merge(shard)
             else:
-                self.shards[key] = shard
+                # copy — adopting a live reference would alias later in-place
+                # add_local mutations back into the source filter (the same
+                # hazard ADVICE r5 flagged on the cuckoo twin)
+                self.shards[key] = BloomShard(shard.m, shard.k, shard.bits.copy())
 
     def add_local(self, shard_key: str, hashes: Iterable[int]) -> None:
         m, k = _params(self.expected_per_shard, self.fpp)
