@@ -37,7 +37,7 @@ N_LO, N_HI = 4, 16
 # shuffle-hash anti-join, over ~100k small rows) is stage-latency-bound
 # below ~30k pages/round and only starts parallelizing above it — the
 # asymptote needs a cell in that regime.
-SWEEP = [(32, 16), (512, 16), (2048, 8), (4096, 8), (8192, 8)]
+SWEEP = [(32, 16), (512, 16), (2048, 8), (4096, 8), (8192, 8), (16384, 8)]
 LOOKAHEAD = 8
 WEIGHT_KB = 48
 
