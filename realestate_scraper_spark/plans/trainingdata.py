@@ -33,7 +33,49 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from realestate_scraper_spark.session import fan_out
+
 REGISTRY: dict = {}
+
+# Embedding dimensionality (the synthetic corpus and the LSH planes both pin
+# 64); the codegen'd dot/norm expressions below are unrolled to this width.
+EMB_DIMS = 64
+
+
+def _emb_double(col):
+    """array<float> → array<double> via a plain Cast (codegen, elementwise
+    widening) — replaces the per-element ``transform(x → cast)`` lambda,
+    which as a higher-order function evaluates INTERPRETED per row."""
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def _dot_expr(a, b, dims: int = EMB_DIMS):
+    """Dot product as the zip_with/aggregate fold.
+
+    MEASURED negative result (r7): unrolling this into a 64-term
+    ``element_at`` sum to escape the higher-order functions' interpreted
+    CodegenFallback path made every consumer SLOWER (q41 1.8 → 3.8 s,
+    q40 0.3 → 0.8 s): the unrolled tree exceeds codegen's method-size
+    budget, the stage falls back to Volcano eval, and a 192-node
+    interpreted Add/GetArrayItem tree per pair costs more than the fold's
+    single lambda loop. The fold stays; parallelism comes from fan_out on
+    the probe side instead."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqnorm_expr(a, dims: int = EMB_DIMS):
+    """Σ aᵢ² as the aggregate fold (see _dot_expr); caller sqrt()s."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _cos_expr(a, b, dims: int = EMB_DIMS):
+    return _dot_expr(a, b, dims) / (
+        F.sqrt(_sqnorm_expr(a, dims)) * F.sqrt(_sqnorm_expr(b, dims))
+    )
 
 
 def _reg(name: str, oracle: str | None):
@@ -160,7 +202,10 @@ def minhash_signatures(spark, sf_dir, n_seeds: int = N_SEEDS) -> DataFrame:
     re-digesting per seed — measured slower at width 4 and degrading
     linearly with width. The explode keeps every hot expression inside
     codegen."""
-    docs = _augmented_docs(spark, sf_dir)
+    # fan_out: the shingle explode + per-shingle md5/conv digest pipeline
+    # (the expensive part) runs ABOVE the scan; single-row-group input pins
+    # it to one task without this (guide §2.5 input skew; no-op at scale)
+    docs = fan_out(_augmented_docs(spark, sf_dir), "doc_id")
     sh = docs.select(
         "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
     )
@@ -332,7 +377,9 @@ def q33_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard verification of near-dup candidates: distinct-shingle
     intersection over union for each constructed (original, mutated) pair.
     The verify stage that follows MinHash candidate generation."""
-    docs = _augmented_docs(spark, sf_dir)
+    # fan_out: same single-task shingle-pipeline rationale as
+    # minhash_signatures (guide §2.5; no-op at scale)
+    docs = fan_out(_augmented_docs(spark, sf_dir), "doc_id")
     sh = docs.select(
         "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
     ).distinct()
@@ -406,20 +453,19 @@ def simhash(spark, sf_dir, n_bits: int = 16) -> DataFrame:
     production 64-bit splits into two 32-bit halves of the same plan).
     Output column is named ``simhash{n_bits}``."""
     assert 1 <= n_bits <= 60, "signed-long construction caps the width"
-    toks = t(spark, sf_dir, "documents").select(
+    # fan_out: the per-token md5 + 16 bit-vote aggregates run above a
+    # single-row-group scan (guide §2.5 input skew; no-op at scale)
+    toks = fan_out(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     )
     h = F.md5(F.col("tok"))
 
-    def hexval(pos: int):
-        return (F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1).cast("long")
-
+    # one base-16 conv of the leading hex chars — integer-identical to the
+    # per-character instr()·16^k decomposition it replaces (4 substring +
+    # 4 instr per token → 1 substring + 1 conv)
     n_hex = (n_bits + 3) // 4
-    v = None
-    for p in range(n_hex):
-        term = hexval(p + 1) * F.lit(16 ** (n_hex - 1 - p)).cast("long")
-        v = term if v is None else v + term
+    v = F.conv(F.substring(h, 1, n_hex), 16, 10).cast("long")
     vals = toks.select("doc_id", v.alias("v"))
     bit_aggs = [
         F.sum(
@@ -602,14 +648,7 @@ def q38_fingerprint(spark, sf_dir):
 
 # --------------------------------------------------------------------- q39
 def _cosine_cols():
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
-    return dot / (nq * nc)
+    return _cos_expr(F.col("qv"), F.col("cv"))
 
 
 @_reg(
@@ -636,12 +675,13 @@ def q39_ann_brute_topk(spark, sf_dir):
     query side is tiny → broadcast; candidates never shuffle. At 100 TB this
     is the rerank stage that follows LSH/IVF candidate generation (q40)."""
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "vec_id", _emb_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    # no fan_out: ~10k pair-folds are cheaper than the exchange a fan-out
+    # would add (measured 0.52 s as-is vs 0.67 s fanned at sf0.1)
     c = e.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
     )
@@ -679,9 +719,10 @@ def lsh_bucket_expr(v_col, n_planes: int = 8):
 
 
 def lsh_buckets(spark, sf_dir, n_planes: int = 8) -> DataFrame:
+    # no fan_out here: 8 plane folds over a 2k-row scan are cheaper than
+    # the exchange a fan-out would add (measured — q40 0.31 s as-is)
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "vec_id", _emb_double("embedding").alias("v")
     )
     return e.select(
         "vec_id", lsh_bucket_expr(F.col("v"), n_planes).alias("bucket")
@@ -732,24 +773,19 @@ def q41_embedding_near_dup(spark, sf_dir):
     folds for every candidate a vector appears in. Same float arithmetic,
     same order, identical values — the oracle still computes per-pair."""
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "vec_id", _emb_double("embedding").alias("v")
     )
     aug = e.unionByName(
         e.filter(F.col("vec_id") % 25 == 0).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "v"
         )
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
-    a = aug.alias("a")
+    ).withColumn("nrm", F.sqrt(_sqnorm_expr(F.col("v"))))
+    # fan_out the probe side: the broadcast join evaluates every same-bucket
+    # pair's 64-term dot on the probe partitions, and the union of two
+    # single-row-group scans is 2 tasks (guide §2.5; no-op at scale)
+    a = fan_out(aug, "vec_id").alias("a")
     b = aug.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_expr(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,
@@ -901,23 +937,19 @@ def q53_ann_recall(spark, sf_dir):
     scheme that loses true neighbours is silently wrong no matter how fast
     the equi-join is; exact-bucket recall documents exactly that risk."""
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", _emb_double("embedding").alias("v")
     )
     qry = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = e.filter(F.col("vec_id") >= 16).select(
+    # fan_out: all three candidate-side cosine passes (GT / LSH / multi-
+    # probe) probe broadcast joins on the candidate partitions
+    # (guide §2.5; no-op at scale)
+    cand = fan_out(e.filter(F.col("vec_id") >= 16), "vec_id").select(
         F.col("vec_id").alias("cand_id"), "v"
     )
 
-    def cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return dot / (na * nb)
+    cos = _cos_expr
 
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     gt = (
@@ -985,24 +1017,21 @@ def q44_ann_ivf(spark, sf_dir):
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", _emb_double("embedding").alias("v")
     )
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    cand = e.filter(F.col("vec_id") >= 16).select(
+    # fan_out: the assign pass scores cand × 8 broadcast centroids on the
+    # candidate partitions (guide §2.5; no-op at scale)
+    cand = fan_out(e.filter(F.col("vec_id") >= 16), "vec_id").select(
         F.col("vec_id").alias("cand_id"), "v"
     )
     qry = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
 
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-                          lambda acc, x: acc + x)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return dot / (na * nb)
+    cos = _cos_expr
 
     w_assign = Window.partitionBy("cand_id").orderBy(
         F.desc("csim"), F.asc("cid")

@@ -91,6 +91,35 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def fan_out(df, *key_cols: str):
+    """Spread a narrow scan across the session's cores when the source gives
+    fewer splits than cores — the 'input skew: one huge unsplittable file'
+    case of the optimization guide (§2.5): the sandbox tables are single-file
+    single-ROW-GROUP parquet, so every scan (and everything pipelined above
+    it — explodes, digests, partial aggregates, broadcast-join probes) runs
+    in ONE task regardless of core count.
+
+    No-op when the scan already has at least half the session's parallelism
+    in splits — a production many-file table takes that branch, so this never
+    adds an exchange at cluster scale. The exchange HASH-partitions on
+    ``key_cols`` (a deterministic high-cardinality key) rather than
+    round-robin: no sort-before-repartition pass, and retried tasks
+    re-produce the same row placement (guide §2.5 on rand-derived keys /
+    SPARK-38388).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * cur >= dp:
+        return df
+    return df.repartition(dp, *[F.col(c) for c in key_cols])
+
+
 def local_df(spark: SparkSession, rows, schema, n_partitions: int = 1):
     """Driver-local literal rows → DataFrame via the Arrow batch path.
 
