@@ -105,6 +105,66 @@ def is_single_jvm_master(master: str) -> bool:
     return master == "local" or master.startswith("local[")
 
 
+def _collect_insert_deltas(df: DataFrame):
+    """ONE job over a round's insert delta returning BOTH driver products:
+
+    - per-(domain#salt) new-key hash arrays — the Bloom broadcast-chain
+      transport, packed to bytes executor-side (O(new URLs × 8 B) collected,
+      same wire format as ``ShardedBloom.collect_hash_deltas``);
+    - the (source, kind, page_idx, n) counter rows that feed the driver's
+      metadata-scale progress tracking (``_track_new_agg``).
+
+    These used to be two jobs over the same tiny snapshot every round; the
+    grouped Arrow pack produces both in one pass (one extra group key per
+    (source, kind, page) combination within a shard — metadata-scale)."""
+    import numpy as np
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard": [pdf["domain_salt"].iloc[0]],
+                "source": [pdf["source"].iloc[0]],
+                "kind": [pdf["kind"].iloc[0]],
+                "page_idx": [pdf["page_idx"].iloc[0]],
+                "n": [len(pdf)],
+                "hashes": [pdf["url_hash64"].to_numpy(dtype=np.int64).tobytes()],
+            }
+        )
+
+    rows = (
+        df.select("domain_salt", "source", "kind", "page_idx", "url_hash64")
+        .groupBy("domain_salt", "source", "kind", "page_idx")
+        .applyInPandas(
+            _pack,
+            schema=(
+                "shard string, source string, kind string, page_idx int, "
+                "n long, hashes binary"
+            ),
+        )
+        .collect()
+    )
+    chunks: dict[str, list] = defaultdict(list)
+    agg = []
+    for r in rows:
+        chunks[r["shard"]].append(
+            np.frombuffer(bytes(r["hashes"]), dtype=np.int64)
+        )
+        agg.append(
+            {
+                "source": r["source"],
+                "kind": r["kind"],
+                "page_idx": r["page_idx"],
+                "n": r["n"],
+            }
+        )
+    deltas = {
+        shard: (arrs[0] if len(arrs) == 1 else np.concatenate(arrs))
+        for shard, arrs in chunks.items()
+    }
+    return deltas, agg
+
+
 # sessions whose crawl-specific first-time costs were already pre-warmed
 # (python worker army, staged-write codegen + parquet committer) — one
 # warmup per SparkSession, not per engine, so test suites that construct
@@ -299,6 +359,10 @@ class CrawlEngine:
         self._staged_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="staged"
         )
+        # rounds whose staged append has been submitted but not yet joined
+        # (offer-limit-less runs defer the join so the write overlaps the
+        # NEXT round's fetch): [(round_idx, batch_n, future, fetched_cache)]
+        self._staged_pending: list[tuple] = []
         # async pre-warm of the session's crawl-specific first-time costs,
         # overlapped with seed() / round 1 (both are latency-bound driver
         # sequences, so the executor pool is idle while they run)
@@ -590,18 +654,37 @@ class CrawlEngine:
     # ---------------------------------------------------------- round loop
     def run(self, max_rounds: int = 1000) -> dict:
         stats = {"rounds": 0, "pages_fetched": 0, "offers_parsed": 0}
-        for _ in range(max_rounds):
-            progressed, fetched_n, offers_n = self._one_round()
-            if not progressed:
-                break
-            stats["rounds"] += 1
-            stats["pages_fetched"] += fetched_n
-            stats["offers_parsed"] += offers_n
-            if self.offer_limit and self._offers_total >= self.offer_limit:
-                for src in self._sources:
-                    self._stopped.setdefault(src, "offer_limit")
-                self._write_checkpoint()
-                break
+        # AQE OFF for the round loop (restored for finalize): every in-round
+        # exchange is explicitly sized or alignment-pinned — the politeness
+        # repartition is count-pinned, the insert exchange is pinned to the
+        # seen store's bucket count (an alignment AQE must not change), the
+        # appends are explicit repartitions, and skew is handled by domain
+        # salting — so adaptive re-planning has nothing to decide here, but
+        # it materializes every query stage as its OWN job with a driver
+        # re-plan between (the r7 event logs read 3-4 jobs per in-round
+        # write). Measured on the bench crawl: 18.1 → 15.8 s. Finalize keeps
+        # AQE: its reconciliation windows/joins are the one in-engine place
+        # where runtime re-planning (skew split, partition coalescing) can
+        # matter at scale.
+        conf = self.spark.conf
+        prev_aqe = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for _ in range(max_rounds):
+                progressed, fetched_n, offers_n = self._one_round()
+                stats["offers_parsed"] += offers_n
+                if not progressed:
+                    break
+                stats["rounds"] += 1
+                stats["pages_fetched"] += fetched_n
+                if self.offer_limit and self._offers_total >= self.offer_limit:
+                    for src in self._sources:
+                        self._stopped.setdefault(src, "offer_limit")
+                    self._write_checkpoint()
+                    break
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        stats["offers_parsed"] += self._drain_staged(block=True)
         with self._phase("run_finalize"):
             # the three finalize jobs touch DISJOINT tables (t_metrics /
             # t_frontier / curated-from-staged) — same overlap rationale as
@@ -855,8 +938,7 @@ class CrawlEngine:
         t_start = time.monotonic()
         self.round_idx += 1
         if self._pending is None or self._eligible_pending_total() == 0:
-            self._finalize_done()
-            return False, 0, 0
+            return False, 0, self._finalize_done()
 
         # Eligibility is a pure filter over the cached working set: ALL known
         # pending listing pages drain together (rounds ≪ O(frontier); order
@@ -1033,16 +1115,19 @@ class CrawlEngine:
             with self._phase("seen_append"):
                 self.seen_store.append(new_df)
 
+        def _deltas():
+            # Bloom path: ONE job returns BOTH driver-side products of the
+            # insert delta — the per-shard new-key hashes (chain transport,
+            # O(new URLs × 8 B)) and the (source, kind, page_idx, n)
+            # counters. These were two separate jobs over the same tiny
+            # snapshot; merging them removes one job submission per round.
+            with self._phase("insert_deltas"):
+                return _collect_insert_deltas(new_df)
+
         def _bloom():
-            # Prefilter delta. Bloom path: the round's NEW-KEY HASHES, built
-            # distributed per shard and collected as O(new URLs × 8 B) —
-            # folded into the driver filter vectorized AND appended to the
-            # broadcast chain, so workers never re-read the whole filter.
             # Cuckoo path: bitmap-table delta, OR-merged driver-side and
             # re-broadcast in full next round (deletable ⇒ not chainable).
             with self._phase("bloom_build"):
-                if self._bloom_chain is not None:
-                    return ShardedBloom.collect_hash_deltas(new_df)
                 return self._pf_cls.build(
                     new_df,
                     expected_per_shard=self.bloom.expected_per_shard,
@@ -1107,17 +1192,19 @@ class CrawlEngine:
             )
             if new_df is not None:
                 seen_fut = pool.submit(_seen)
-                bloom_fut = pool.submit(_bloom)
-                agg_fut = pool.submit(_agg)
-                seen_fut.result()
-                delta = bloom_fut.result()
                 if self._bloom_chain is not None:
+                    deltas_fut = pool.submit(_deltas)
+                    seen_fut.result()
+                    delta, agg = deltas_fut.result()
                     for shard_key, arr in delta.items():
                         self.bloom.add_local(shard_key, arr)
                     self._bloom_chain.append_hashes(delta)
                 else:
-                    self.bloom.merge(delta)
-                agg = agg_fut.result()
+                    bloom_fut = pool.submit(_bloom)
+                    agg_fut = pool.submit(_agg)
+                    seen_fut.result()
+                    self.bloom.merge(bloom_fut.result())
+                    agg = agg_fut.result()
                 self._track_new_agg(agg)
                 for r in agg:
                     new_n += r["n"]
@@ -1125,18 +1212,32 @@ class CrawlEngine:
                         new_offer_counts[r["source"]] += r["n"]
             upd_n, upd_path = upd_fut.result()
 
-        # ---- join the overlapped staging job (see submit above)
-        with self._phase("staged_join"):
-            offers_n = staged_fut.result()
-        self._offers_total += offers_n
+        # ---- join the overlapped staging job (see submit above). With an
+        # offer limit the count gates the next round, so join NOW; without
+        # one the join is DEFERRED: the staged write's tail then overlaps
+        # the next round's fetch/plan driver latency instead of serializing
+        # at the end of this round (~0.3-1.2 s/run at bench load), and the
+        # single staging worker keeps appends ordered regardless.
+        if self.offer_limit is None:
+            # the fetched cache rides along: the deferred staged job may
+            # still be scanning it, so its unpersist waits for the join
+            # (an early unpersist would silently recompute the fused
+            # python stage for evicted partitions)
+            self._staged_pending.append(
+                (self.round_idx, batch_n, staged_fut, fetched)
+            )
+            offers_n = self._drain_staged(block=False)
+        else:
+            with self._phase("staged_join"):
+                offers_n = staged_fut.result()
+            self._offers_total += offers_n
 
         # defensive backstop: an empty batch normally never reaches here
         # (the round-start eligible-counter check returns first), but if it
         # does, every output job above was a joined no-op (0-row appends)
         if batch_n == 0:
             fetched.unpersist()
-            self._finalize_done()
-            return False, 0, 0
+            return False, 0, self._finalize_done()
 
         # ---- next working set: O(batch) unions whose roots are all ON DISK
         # (previous checkpoint + this round's delta parquet), so the lazy
@@ -1199,13 +1300,22 @@ class CrawlEngine:
             ]
             + [
                 (self.round_idx, "discover", -1, None, batch_n, new_n, 0, wall_ms),
-                (self.round_idx, "offers", -1, None, batch_n, offers_n, 0, wall_ms),
             ]
+            + (
+                # deferred-join rounds emit their offers row at drain time
+                []
+                if self.offer_limit is None
+                else [
+                    (self.round_idx, "offers", -1, None, batch_n, offers_n, 0, wall_ms)
+                ]
+            )
         )
 
         # checkpoint from driver-tracked progress — no read-back aggregation
         self._write_checkpoint()
-        fetched.unpersist()
+        if self.offer_limit is not None:
+            # deferred-join rounds unpersist at drain time instead
+            fetched.unpersist()
         return True, batch_n, offers_n
 
     def _stage_offers(self, pages: DataFrame) -> int:
@@ -1376,14 +1486,43 @@ class CrawlEngine:
             .collect()
         )
 
+    def _drain_staged(self, block: bool) -> int:
+        """Join deferred staged-append futures (completed ones, or ALL when
+        ``block``): fold their valid-offer counts into the run totals and
+        emit the per-round offers metric rows the inline path would have
+        written (wall_ms 0.0 — the owning round's wall closed before the
+        deferred join resolved). Returns the newly-resolved offer count."""
+        resolved = 0
+        still_pending = []
+        for rnd, bn, fut, cached in self._staged_pending:
+            if block or fut.done():
+                with self._phase("staged_join"):
+                    n = fut.result()
+                if cached is not None:
+                    try:
+                        cached.unpersist()
+                    except Exception:
+                        pass
+                self._offers_total += n
+                self._metrics_buf.append(
+                    (rnd, "offers", -1, None, bn, n, 0, 0.0)
+                )
+                resolved += n
+            else:
+                still_pending.append((rnd, bn, fut, cached))
+        self._staged_pending = still_pending
+        return resolved
+
     # ------------------------------------------------------------ teardown
-    def _finalize_done(self) -> None:
+    def _finalize_done(self) -> int:
+        drained = self._drain_staged(block=True)
         for src in sorted(self._sources):
             if self._had_fetch_fail.get(src):
                 continue  # retryable — stays not-done with fetch_fail (ST5)
             self._stopped.setdefault(src, "no_links")
         self._write_checkpoint()
         self._flush_metrics()
+        return drained
 
     def _track_new_agg(self, agg_rows) -> None:
         for r in agg_rows:

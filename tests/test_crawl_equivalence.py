@@ -470,8 +470,8 @@ def test_every_crawl_job_is_phase_tagged(engine_run):
     required = {
         "seed_snapshot", "seed_seen", "seed_bootstrap",
         "fetch_plan", "fetch_summary", "links_plan", "updates_plan",
-        "insert_append", "update_append", "seen_append", "bloom_build",
-        "new_rows_agg", "staged_plan", "staged_append", "staged_join",
+        "insert_append", "update_append", "seen_append", "insert_deltas",
+        "staged_plan", "staged_append", "staged_join",
         "run_finalize", "finalize_metrics", "finalize_compact",
         "finalize_curated",
     }
