@@ -231,7 +231,10 @@ class ShardedBloom:
             meta.append((key, s.m, s.k))
         arrays["meta_keys"] = np.array([m[0] for m in meta], dtype=object)
         arrays["meta_mk"] = np.array([[m[1], m[2]] for m in meta], dtype=np.int64).reshape(-1, 2)
-        np.savez_compressed(buf, allow_pickle=True, **arrays)
+        # no allow_pickle kwarg: savez_compressed has none — passing it
+        # just stored a stray boolean array named "allow_pickle" in the
+        # archive (the cuckoo twin was fixed in r6; parity here)
+        np.savez_compressed(buf, **arrays)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(buf.getvalue())

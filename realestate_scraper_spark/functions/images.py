@@ -314,12 +314,12 @@ def phash64(rgb: np.ndarray) -> int:
     block = d[:8, :8].flatten()
     vals = block[1:]  # drop DC
     med = np.median(vals)
-    bits = np.zeros(64, dtype=np.uint64)
-    bits[1:] = (vals > med).astype(np.uint64)
-    h = np.uint64(0)
-    for b in bits:
-        h = (h << np.uint64(1)) | b
-    return int(np.int64(h))
+    bits = np.zeros(64, dtype=np.uint8)
+    bits[1:] = vals > med
+    # MSB-first row-major pack — byte-identical to the per-bit shift loop
+    # it replaces (packbits is MSB-first), ~60 numpy scalar ops fewer/image
+    h = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.int64(np.uint64(h)))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -871,17 +871,15 @@ def q26_sessionize(spark, sf_dir):
         "new_session",
         F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
     )
-    e = e.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    # n_sessions = number of session STARTS per user: session_id is the
+    # running sum of new_session, so COUNT(DISTINCT session_id) per user ==
+    # SUM(new_session) — the second window pass and the extra
+    # (user_id, session_id) exchange the oracle's literal shape implies
+    # compute nothing the lag flags don't already carry. One window, one
+    # aggregation (same exchange key as the window → no extra shuffle).
     return (
-        e.groupBy("user_id", "session_id")
-        .count()
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_sessions"))
+        e.groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
     )
 
 

@@ -169,10 +169,21 @@ def main() -> None:
 
     md_path = REPO / "BENCH" / "BASELINE.md"
     text = md_path.read_text()
+    block = "\n".join(lines).rstrip() + "\n"
     if MARKER in text:
-        text = text[: text.index(MARKER)].rstrip() + "\n"
-    md_path.write_text(text.rstrip() + "\n\n" + "\n".join(lines))
-    print("appended to", md_path)
+        # replace ONLY this script's own section: marker → the next "## "
+        # heading (or EOF when it is last). The previous truncate-at-marker
+        # + append silently DELETED every unrelated section after the
+        # marker (the r6 depth re-run ate the Multi-JVM evidence and
+        # Cluster-launch sections — the r6 verdict's one regression).
+        start = text.index(MARKER)
+        nxt = text.find("\n## ", start + len(MARKER))
+        tail = "" if nxt == -1 else text[nxt + 1:]
+        text = text[:start].rstrip() + "\n\n" + block + "\n" + tail
+        md_path.write_text(text.rstrip() + "\n")
+    else:
+        md_path.write_text(text.rstrip() + "\n\n" + block)
+    print("updated", md_path)
 
 
 if __name__ == "__main__":
