@@ -62,21 +62,15 @@ def q01_pricing_summary(spark, sf_dir):
     TPC-H Q1 shape; map-side partial aggregation is free from Catalyst, the
     one shuffle is on the 2-column group key.
     """
-    # fan_out: the per-row decimal casts + decimal partial aggregation are
-    # the query's dominant cost and otherwise run inside the single-row-
-    # group scan's one task (guide §2.5 input skew; no-op at scale). The
-    # decimal sums and the count are partition-order-invariant; avg_disc is
-    # rounded to 6 decimals on both sides by design.
-    from realestate_scraper_spark.session import fan_out
-
+    # MEASURED negative result (r7): fanning the scan out (guide §2.5) to
+    # parallelize the decimal partial aggregation wins ~0.3 s on a WARM
+    # session (1.31 → 1.0 s) but is a wash cold (1.19 vs 1.17 s, 2-run A/B
+    # in the bench's exact warmup context) — the extra exchange stage and
+    # its codegen compile eat the parallelism win, and the bench's regime
+    # is a fresh process per run. Left on the single-task scan; the scan
+    # IS the partial aggregation here.
     return (
-        fan_out(
-            t(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
-                "l_extendedprice", "l_discount",
-            ),
-            "l_orderkey",
-        )
+        t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
@@ -761,7 +755,7 @@ def q23_spatial_dup_join(spark, sf_dir):
     fine = F.floor(F.col("value") * 16).cast("long")
     b_side = e.withColumn("fine", fine)
     a_side = (
-        fan_out(e, "event_id")
+        fan_out(e, "event_id", path=f"{sf_dir}/events.parquet")
         .withColumn("_f0", fine)
         .withColumn(
             "fine",

@@ -205,7 +205,10 @@ def minhash_signatures(spark, sf_dir, n_seeds: int = N_SEEDS) -> DataFrame:
     # fan_out: the shingle explode + per-shingle md5/conv digest pipeline
     # (the expensive part) runs ABOVE the scan; single-row-group input pins
     # it to one task without this (guide §2.5 input skew; no-op at scale)
-    docs = fan_out(_augmented_docs(spark, sf_dir), "doc_id")
+    docs = fan_out(
+        _augmented_docs(spark, sf_dir), "doc_id",
+        path=f"{sf_dir}/documents.parquet",
+    )
     sh = docs.select(
         "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
     )
@@ -240,22 +243,39 @@ def minhash_band_pairs(
     if sigs is None:
         sigs = minhash_signatures(spark, sf_dir, n_seeds).cache()
     n_bands = n_seeds // rows_per_band
-    out = None
-    for band in range(n_bands):
-        cols = [f"sig{band * rows_per_band + j}" for j in range(rows_per_band)]
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        p = (
-            sigs.alias("a")
-            .join(sigs.alias("b"), cond)
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
+    # ONE self-join on an exploded exact band key instead of one join per
+    # band + union: each signature row becomes n_bands (band, values) keys
+    # (encoded as an exact string — never a lossy hash, a collision would
+    # FABRICATE a candidate pair), pairs agreeing on several bands collapse
+    # in the same DISTINCT the union needed anyway. Same pair set, n_bands
+    # joins → 1.
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(band)),
+                *[
+                    F.col(f"sig{band * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ],
             )
+            for band in range(n_bands)
+        ]
+    )
+    kb = sigs.select("doc_id", F.explode(keys).alias("band_key"))
+    a, b = kb.alias("a"), kb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        out = p if out is None else out.unionByName(p)
-    return out.distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 _MINHASH_SQL = f"""
@@ -379,7 +399,10 @@ def q33_ngram_jaccard(spark, sf_dir):
     The verify stage that follows MinHash candidate generation."""
     # fan_out: same single-task shingle-pipeline rationale as
     # minhash_signatures (guide §2.5; no-op at scale)
-    docs = fan_out(_augmented_docs(spark, sf_dir), "doc_id")
+    docs = fan_out(
+        _augmented_docs(spark, sf_dir), "doc_id",
+        path=f"{sf_dir}/documents.parquet",
+    )
     sh = docs.select(
         "doc_id", F.explode(_shingles_expr(F.col("text"))).alias("sh")
     ).distinct()
@@ -455,7 +478,10 @@ def simhash(spark, sf_dir, n_bits: int = 16) -> DataFrame:
     assert 1 <= n_bits <= 60, "signed-long construction caps the width"
     # fan_out: the per-token md5 + 16 bit-vote aggregates run above a
     # single-row-group scan (guide §2.5 input skew; no-op at scale)
-    toks = fan_out(t(spark, sf_dir, "documents"), "doc_id").select(
+    toks = fan_out(
+        t(spark, sf_dir, "documents"), "doc_id",
+        path=f"{sf_dir}/documents.parquet",
+    ).select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     )
@@ -783,7 +809,7 @@ def q41_embedding_near_dup(spark, sf_dir):
     # fan_out the probe side: the broadcast join evaluates every same-bucket
     # pair's 64-term dot on the probe partitions, and the union of two
     # single-row-group scans is 2 tasks (guide §2.5; no-op at scale)
-    a = fan_out(aug, "vec_id").alias("a")
+    a = fan_out(aug, "vec_id", path=f"{sf_dir}/embeddings.parquet").alias("a")
     b = aug.alias("b")
     dot = _dot_expr(F.col("a.v"), F.col("b.v"))
     return (
@@ -945,7 +971,10 @@ def q53_ann_recall(spark, sf_dir):
     # fan_out: all three candidate-side cosine passes (GT / LSH / multi-
     # probe) probe broadcast joins on the candidate partitions
     # (guide §2.5; no-op at scale)
-    cand = fan_out(e.filter(F.col("vec_id") >= 16), "vec_id").select(
+    cand = fan_out(
+        e.filter(F.col("vec_id") >= 16), "vec_id",
+        path=f"{sf_dir}/embeddings.parquet",
+    ).select(
         F.col("vec_id").alias("cand_id"), "v"
     )
 
@@ -1024,7 +1053,10 @@ def q44_ann_ivf(spark, sf_dir):
     )
     # fan_out: the assign pass scores cand × 8 broadcast centroids on the
     # candidate partitions (guide §2.5; no-op at scale)
-    cand = fan_out(e.filter(F.col("vec_id") >= 16), "vec_id").select(
+    cand = fan_out(
+        e.filter(F.col("vec_id") >= 16), "vec_id",
+        path=f"{sf_dir}/embeddings.parquet",
+    ).select(
         F.col("vec_id").alias("cand_id"), "v"
     )
     qry = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(

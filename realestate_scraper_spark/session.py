@@ -91,7 +91,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def fan_out(df, *key_cols: str):
+def fan_out(df, *key_cols: str, path: str | None = None):
     """Spread a narrow scan across the session's cores when the source gives
     fewer splits than cores — the 'input skew: one huge unsplittable file'
     case of the optimization guide (§2.5): the sandbox tables are single-file
@@ -100,22 +100,58 @@ def fan_out(df, *key_cols: str):
     in ONE task regardless of core count.
 
     No-op when the scan already has at least half the session's parallelism
-    in splits — a production many-file table takes that branch, so this never
-    adds an exchange at cluster scale. The exchange HASH-partitions on
-    ``key_cols`` (a deterministic high-cardinality key) rather than
-    round-robin: no sort-before-repartition pass, and retried tasks
-    re-produce the same row placement (guide §2.5 on rand-derived keys /
-    SPARK-38388).
+    in splits — a production many-file table takes that branch (decided from
+    the FILE COUNT alone, no footers read), so this never adds an exchange
+    at cluster scale. Only few-file inputs read parquet footers to count ROW
+    GROUPS — the true split floor (Spark byte-range splits assign each row
+    group to the one task holding its midpoint, so a 3-split single-row-
+    group file still computes in one task; ``df.rdd.getNumPartitions`` both
+    over-reports that and pays a ~0.7 s first-use RDD-conversion toll).
+    The exchange HASH-partitions on ``key_cols`` (a deterministic
+    high-cardinality key) rather than round-robin: no sort-before-
+    repartition pass, and retried tasks re-produce the same row placement
+    (guide §2.5 on rand-derived keys / SPARK-38388).
+
+    ``path``: the source table's path, when the caller knows it — the
+    file/row-group census then runs on the local filesystem directly
+    (microseconds) instead of the ``df.inputFiles()`` py4j round-trip,
+    whose FIRST per-session call costs ~0.25 s of one-time plan/RDD-path
+    initialization that would otherwise land inside the first timed query.
     """
+    from urllib.parse import unquote, urlparse
+
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     dp = spark.sparkContext.defaultParallelism
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:
+    files: list[str] | None = None
+    if path is not None:
+        p = unquote(urlparse(path).path) if "://" in path else path
+        if os.path.isfile(p):
+            files = [p]
+        elif os.path.isdir(p):
+            files = [
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            ]
+    if files is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return df
+    if not files or 2 * len(files) >= dp:
         return df
-    if 2 * cur >= dp:
+    try:
+        import pyarrow.parquet as pq
+
+        splits = 0
+        for f in files:
+            p = unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
+            splits += pq.ParquetFile(p).num_row_groups
+            if 2 * splits >= dp:
+                return df
+    except Exception:
         return df
     return df.repartition(dp, *[F.col(c) for c in key_cols])
 
