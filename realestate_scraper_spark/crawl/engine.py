@@ -1145,19 +1145,47 @@ class CrawlEngine:
         # max() of the chains.
         new_n = 0
         new_offer_counts: dict[str, int] = defaultdict(int)
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             ins_fut = pool.submit(_ins)
             upd_fut = pool.submit(_upd)
 
             # ---- ACTION: fetch summary (batch size, lineage counters,
             #      status mix, per-page yield accounting, politeness
             #      high-water marks) in one aggregation — on a single-JVM
-            #      master collected HERE on the main thread while the
-            #      insert/update/staged jobs run; on a multi-executor master
+            #      master submitted to the POOL so the main thread is free
+            #      to dispatch the post-insert consumers the moment the
+            #      insert delta lands (collecting it inline here serialized
+            #      the seen/deltas submissions behind the summary's full
+            #      cache-materialization wait); on a multi-executor master
             #      it already ran above as the cache materializer.
-            if summary is None:
-                with self._phase("fetch_summary"):
-                    summary = self._collect_fetch_summary(pages)
+            sum_fut = (
+                pool.submit(
+                    self._tagged, "fetch_summary",
+                    self._collect_fetch_summary, pages,
+                )
+                if summary is None
+                else None
+            )
+
+            ins_n, ins_path = ins_fut.result()
+            # explicit schema: the snapshot was written from FRONTIER_COLS
+            # this round — inferring it back would re-read footers per round
+            new_df = (
+                self.spark.read.schema(FRONTIER_SCHEMA).parquet(ins_path)
+                if ins_n
+                else None
+            )
+            seen_fut = deltas_fut = bloom_fut = agg_fut = None
+            if new_df is not None:
+                seen_fut = pool.submit(_seen)
+                if self._bloom_chain is not None:
+                    deltas_fut = pool.submit(_deltas)
+                else:
+                    bloom_fut = pool.submit(_bloom)
+                    agg_fut = pool.submit(_agg)
+
+            if sum_fut is not None:
+                summary = sum_fut.result()
             batch_n = sum(r["n"] for r in summary)
             # advance the cross-round politeness clock (ST7); rows that
             # spent no budget (robots/missing) record -1 and are ignored
@@ -1182,27 +1210,14 @@ class CrawlEngine:
                 ):
                     listing_pages_fetched[r["source"]].add(r["page_key"])
 
-            ins_n, ins_path = ins_fut.result()
-            # explicit schema: the snapshot was written from FRONTIER_COLS
-            # this round — inferring it back would re-read footers per round
-            new_df = (
-                self.spark.read.schema(FRONTIER_SCHEMA).parquet(ins_path)
-                if ins_n
-                else None
-            )
             if new_df is not None:
-                seen_fut = pool.submit(_seen)
-                if self._bloom_chain is not None:
-                    deltas_fut = pool.submit(_deltas)
-                    seen_fut.result()
+                seen_fut.result()
+                if deltas_fut is not None:
                     delta, agg = deltas_fut.result()
                     for shard_key, arr in delta.items():
                         self.bloom.add_local(shard_key, arr)
                     self._bloom_chain.append_hashes(delta)
                 else:
-                    bloom_fut = pool.submit(_bloom)
-                    agg_fut = pool.submit(_agg)
-                    seen_fut.result()
                     self.bloom.merge(bloom_fut.result())
                     agg = agg_fut.result()
                 self._track_new_agg(agg)
