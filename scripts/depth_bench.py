@@ -29,6 +29,24 @@ REPO = Path(__file__).resolve().parents[1]
 WORKER = REPO / "scripts" / "depth_worker.py"
 MARKER = "## Round-loop amortization at depth"
 
+def replace_own_section(text: str, lines: list[str]) -> str:
+    """Replace ONLY this script's report section in ``text``: MARKER → the
+    next ``## `` heading (or EOF when it is last); append when absent.
+
+    The r6 version truncated the whole file at the marker and appended,
+    silently DELETING every unrelated section after it (the r6 depth
+    re-run ate the Multi-JVM evidence and Cluster-launch sections — the
+    r6 verdict's one regression). Pinned by
+    tests/test_report_sections.py."""
+    block = "\n".join(lines).rstrip() + "\n"
+    if MARKER not in text:
+        return text.rstrip() + "\n\n" + block
+    start = text.index(MARKER)
+    nxt = text.find("\n## ", start + len(MARKER))
+    tail = "" if nxt == -1 else text[nxt + 1:]
+    return (text[:start].rstrip() + "\n\n" + block + "\n" + tail).rstrip() + "\n"
+
+
 N_LO, N_HI = 4, 16
 # (cards, depth): pages/round grows ~128× across the sweep; the fat cells
 # drop to depth 8 to keep the synth graph build (driver python, untimed)
@@ -168,21 +186,7 @@ def main() -> None:
     ]
 
     md_path = REPO / "BENCH" / "BASELINE.md"
-    text = md_path.read_text()
-    block = "\n".join(lines).rstrip() + "\n"
-    if MARKER in text:
-        # replace ONLY this script's own section: marker → the next "## "
-        # heading (or EOF when it is last). The previous truncate-at-marker
-        # + append silently DELETED every unrelated section after the
-        # marker (the r6 depth re-run ate the Multi-JVM evidence and
-        # Cluster-launch sections — the r6 verdict's one regression).
-        start = text.index(MARKER)
-        nxt = text.find("\n## ", start + len(MARKER))
-        tail = "" if nxt == -1 else text[nxt + 1:]
-        text = text[:start].rstrip() + "\n\n" + block + "\n" + tail
-        md_path.write_text(text.rstrip() + "\n")
-    else:
-        md_path.write_text(text.rstrip() + "\n\n" + block)
+    md_path.write_text(replace_own_section(md_path.read_text(), lines))
     print("updated", md_path)
 
 
