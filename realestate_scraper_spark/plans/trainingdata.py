@@ -37,8 +37,8 @@ from realestate_scraper_spark.session import fan_out
 
 REGISTRY: dict = {}
 
-# Embedding dimensionality (the synthetic corpus and the LSH planes both pin
-# 64); the codegen'd dot/norm expressions below are unrolled to this width.
+# Embedding dimensionality (the synthetic corpus and the LSH planes both
+# pin 64); kept as the dot/norm helpers' width parameter.
 EMB_DIMS = 64
 
 
